@@ -1,0 +1,97 @@
+"""Engine and model configuration.
+
+The reference has no config layer — every knob is either a compile-time
+constant (/root/reference/include/constants.h) or a positional function
+parameter (include/inferencer.h:18-32). Here the same knobs live in two
+frozen dataclasses so they can parameterize jit-compiled step functions
+(static hashable config) and the host scheduler alike.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+from .constants import DEFAULT_INIT_NUM_BLOCKS, DEFAULT_PAGE_SIZE, EOF_TOKEN_ID
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Shape of the model.
+
+    The reference model (include/inference_model.h:8-74) is a single
+    self-attention block: token+pos embedding -> one single-head attention
+    -> weight-tied argmax decoder. ``n_layers``/``n_heads``/``ffn_dim``
+    generalize it to a real multi-layer transformer; with
+    ``n_layers=1, n_heads=1, ffn_dim=0, use_output_proj=False`` this is
+    exactly the reference architecture.
+    """
+
+    n_vocab: int = 1024
+    emb_dim: int = 64
+    n_seq: int = 64  # max sequence length (prompt + generated), incl. cap
+    n_layers: int = 1
+    n_heads: int = 1
+    ffn_dim: int = 0  # 0 = no FFN block (reference parity mode)
+    use_output_proj: bool = False  # attention output projection Wo
+    use_layernorm: bool = False  # pre-LN around attention/FFN
+    dtype: str = "float32"  # compute/weight dtype: float32 | bfloat16
+    eof_token_id: int = EOF_TOKEN_ID
+
+    @property
+    def head_dim(self) -> int:
+        assert self.emb_dim % self.n_heads == 0
+        return self.emb_dim // self.n_heads
+
+    @property
+    def jax_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    def validate(self) -> None:
+        assert self.n_vocab > 0 and self.emb_dim > 0 and self.n_seq > 0
+        assert self.emb_dim % self.n_heads == 0
+        assert 0 <= self.eof_token_id < self.n_vocab
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Shape of the continuous-batching engine.
+
+    Mirrors the runtime parameters of the reference engine entry points
+    (include/inferencer.h:18-32): ``n_slots`` = n_batch_size (batch slots),
+    ``n_seq`` comes from ModelConfig, ``n_forward_rounds`` = device decode
+    rounds per host step, plus the paged-KV pool geometry
+    (paged_item_storage.h:10-44).
+    """
+
+    n_slots: int = 32
+    n_forward_rounds: int = 1
+    # --- paged KV pool ---
+    page_size: int = DEFAULT_PAGE_SIZE
+    n_pages: int = 256  # total pages in the device pool
+    init_num_pages: int = DEFAULT_INIT_NUM_BLOCKS
+    # KV cache dtype may differ from compute dtype (e.g. int8 KV).
+    kv_dtype: str = "float32"
+    # Max new requests prefilled per jitted prefill call; n_new is padded up
+    # to this (static shape), larger batches loop. Keeps one compilation.
+    max_prefill_batch: int = 32
+
+    @property
+    def kv_jax_dtype(self):
+        return jnp.dtype(self.kv_dtype)
+
+    def pages_per_slot(self, n_seq: int) -> int:
+        """Width of a page-table row (reference: n_sequence/PAGE_BLOCK_SIZE,
+        paged_item_storage.cpp:158-162)."""
+        return math.ceil(n_seq / self.page_size)
+
+    def validate(self, model: ModelConfig) -> None:
+        assert self.n_slots > 0 and self.n_pages > 0
+        # Reference asserts 0 < n_forward_rounds <= PAGE_BLOCK_SIZE so at most
+        # one page per slot must be grown per host round
+        # (paged_item_storage.cpp:21).
+        assert 0 < self.n_forward_rounds <= self.page_size
+        assert self.init_num_pages > 0
+        assert self.max_prefill_batch > 0

@@ -1,0 +1,67 @@
+"""Model parameters: init and pytree layout.
+
+The reference uses random synthetic weights created on device per test
+(tests/inferencer_test.cpp:21-36, src/kernels/rand_assign.cu) with an
+embedding table biased so EOF_TOKEN_ID scores high — guaranteeing decodes
+terminate (tests/test_utils.cpp:87-95 ``get_random_device_emb_table``).
+Here: jax.random uniform weights, with the same EOF-bias knob for tests and
+benchmarks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+
+Params = Dict[str, Any]
+
+
+def init_params(
+    key: jax.Array,
+    cfg: ModelConfig,
+    *,
+    scale: float = 0.02,
+    eof_bias: float = 0.0,
+) -> Params:
+    """Random parameters for the (possibly multi-layer) model.
+
+    ``eof_bias`` > 0 additively boosts the EOF token's embedding so greedy
+    decodes hit EOF sooner (mirrors eof_larger_ratio in the reference's
+    get_random_device_emb_table): with weight tying, a larger EOF embedding
+    row raises EOF logits.
+    """
+    cfg.validate()
+    dtype = cfg.jax_dtype
+    n_keys = 3 + 6 * cfg.n_layers
+    keys = iter(jax.random.split(key, n_keys))
+
+    def rand(k, shape):
+        return (jax.random.uniform(k, shape, jnp.float32, -1.0, 1.0) * scale).astype(dtype)
+
+    wte = rand(next(keys), (cfg.n_vocab, cfg.emb_dim))
+    if eof_bias > 0.0:
+        wte = wte.at[cfg.eof_token_id].add(jnp.asarray(eof_bias, dtype))
+    wpe = rand(next(keys), (cfg.n_seq, cfg.emb_dim))
+
+    layers = []
+    for _ in range(cfg.n_layers):
+        layer = {
+            "wq": rand(next(keys), (cfg.emb_dim, cfg.emb_dim)),
+            "wk": rand(next(keys), (cfg.emb_dim, cfg.emb_dim)),
+            "wv": rand(next(keys), (cfg.emb_dim, cfg.emb_dim)),
+        }
+        if cfg.use_output_proj:
+            layer["wo"] = rand(next(keys), (cfg.emb_dim, cfg.emb_dim))
+        if cfg.ffn_dim > 0:
+            layer["w_up"] = rand(next(keys), (cfg.emb_dim, cfg.ffn_dim))
+            layer["w_down"] = rand(next(keys), (cfg.ffn_dim, cfg.emb_dim))
+        if cfg.use_layernorm:
+            layer["ln1_g"] = jnp.ones((cfg.emb_dim,), dtype)
+            layer["ln2_g"] = jnp.ones((cfg.emb_dim,), dtype)
+        layers.append(layer)
+
+    return {"wte": wte, "wpe": wpe, "layers": layers}

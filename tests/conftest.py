@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding logic is validated the way JAX projects do it — CPU
+devices standing in for a slice (SURVEY.md §4). Pallas kernels run in
+interpreter mode on CPU; real-TPU runs happen in benchmarks/driver.
+Env vars must be set before jax is imported anywhere.
+"""
+
+import os
+
+# The environment presets JAX_PLATFORMS=axon (TPU tunnel); tests must run
+# on host CPU devices, so force-override rather than setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+# The axon sitecustomize calls jax.config.update("jax_platforms", "axon,cpu")
+# at interpreter start, which overrides the env var — override it back before
+# any backend is initialized.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,177 @@
+"""Tier-3 end-to-end engine tests (reference tests/inferencer_test.cpp):
+  * termination: every request finishes, per backend;
+  * sequence correctness vs an independent numpy single-request rollout;
+  * token-exact dense <-> paged cross-backend parity (the reference's
+    golden Compare2Inferences property, inferencer_test.cpp:76-164).
+
+Weights use an EOF bias so greedy decodes terminate (the reference biases
+its random embedding table the same way, test_utils.cpp:87-95).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from min_llm_inference_tpu import (
+    DenseEngine,
+    EngineConfig,
+    ItemStorage,
+    ModelConfig,
+    PagedEngine,
+    Request,
+    get_global_throughput_counter,
+    init_params,
+)
+
+MODEL = ModelConfig(n_vocab=256, emb_dim=32, n_seq=64, eof_token_id=255)
+ENGINE = EngineConfig(
+    n_slots=8, n_forward_rounds=1, page_size=16, n_pages=8 * 4 * 2,
+    max_prefill_batch=4,
+)
+
+
+def make_requests(rng, n, max_prompt, n_vocab, eof):
+    get_global_throughput_counter().reset()  # before submits, for TTFT
+    store = ItemStorage()
+    prompts = {}
+    for i in range(n):
+        ln = int(rng.integers(1, max_prompt))
+        toks = rng.integers(0, eof, ln).tolist()  # prompts avoid EOF id
+        prompts[i] = [int(t) for t in toks]
+        store.add_new_item(Request(i, list(prompts[i])))
+    return store, prompts
+
+
+def numpy_rollout(params, prompt, n_seq, eof):
+    """Independent single-sequence greedy rollout (float64 numpy) for the
+    reference-parity model: embed -> 1-head attention -> tied argmax."""
+    wte = np.asarray(params["wte"], np.float64)
+    wpe = np.asarray(params["wpe"], np.float64)
+    wq = np.asarray(params["layers"][0]["wq"], np.float64)
+    wk = np.asarray(params["layers"][0]["wk"], np.float64)
+    wv = np.asarray(params["layers"][0]["wv"], np.float64)
+    D = wte.shape[1]
+    tokens = list(prompt)
+    while True:
+        L = len(tokens)
+        emb = wte[np.asarray(tokens)] + wpe[:L]
+        k = emb @ wk
+        v = emb @ wv
+        q = emb[-1] @ wq
+        s = (k @ q) / np.sqrt(D)
+        s -= s.max()
+        p = np.exp(s)
+        p /= p.sum()
+        attn = p @ v
+        logits = attn @ wte.T
+        tok = int(np.argmax(logits))
+        tokens.append(tok)
+        if tok == eof or len(tokens) >= n_seq:
+            return tokens
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), MODEL, eof_bias=0.05)
+
+
+def run_engine(engine_cls, params, store, **kw):
+    eng = engine_cls(params, MODEL, ENGINE, **kw)
+    eng.run(store)
+    return store
+
+
+@pytest.mark.parametrize("engine_cls", [DenseEngine, PagedEngine])
+def test_engine_terminates_and_counts(engine_cls, params, rng):
+    n_items = 20
+    store, _ = make_requests(rng, n_items, 20, MODEL.n_vocab, MODEL.eof_token_id)
+    run_engine(engine_cls, params, store)
+    assert len(store.finished) == n_items
+    counter = get_global_throughput_counter()
+    gen = sum(len(r.tokens) - r.prompt_len for r in store.finished.values())
+    assert counter.total_tokens == gen > 0
+    assert counter.tokens_per_second > 0
+    assert len(counter.ttfts) == n_items
+    for req in store.finished.values():
+        assert len(req.tokens) <= MODEL.n_seq
+        assert (
+            req.tokens[-1] == MODEL.eof_token_id or len(req.tokens) == MODEL.n_seq
+        )
+
+
+def test_dense_engine_matches_numpy_rollout(params, rng):
+    store, prompts = make_requests(rng, 12, 16, MODEL.n_vocab, MODEL.eof_token_id)
+    run_engine(DenseEngine, params, store)
+    mismatches = 0
+    for rid, prompt in prompts.items():
+        want = numpy_rollout(params, prompt, MODEL.n_seq, MODEL.eof_token_id)
+        got = store.finished[rid].tokens
+        if got != want:
+            mismatches += 1
+    # fp32 engine vs fp64 oracle: argmax near-ties may rarely flip; the
+    # engine must track the oracle on virtually all sequences.
+    assert mismatches <= 1, f"{mismatches} sequences diverged from numpy oracle"
+
+
+def test_dense_vs_paged_token_exact_parity(params, rng):
+    """The golden property: identical requests + identical weights through
+    both backends produce token-identical finished sequences."""
+    n_items = 24
+    store_a, _ = make_requests(rng, n_items, 24, MODEL.n_vocab, MODEL.eof_token_id)
+    # rebuild identical requests for the second engine
+    store_b = ItemStorage()
+    for i in range(n_items):
+        store_b.add_new_item(Request(i, list(store_a._new[i].tokens)))
+
+    run_engine(DenseEngine, params, store_a)
+    run_engine(PagedEngine, params, store_b)
+    assert len(store_a.finished) == len(store_b.finished) == n_items
+    for rid in range(n_items):
+        assert store_a.finished[rid].tokens == store_b.finished[rid].tokens, (
+            f"request {rid} diverged"
+        )
+
+
+def test_paged_multi_round_matches_single_round(params, rng):
+    """n_forward_rounds > 1 (multi-token device rounds per host step,
+    reference inference_model.cpp:56-81) must not change outputs."""
+    n_items = 16
+    store_a, _ = make_requests(rng, n_items, 24, MODEL.n_vocab, MODEL.eof_token_id)
+    store_b = ItemStorage()
+    for i in range(n_items):
+        store_b.add_new_item(Request(i, list(store_a._new[i].tokens)))
+
+    get_global_throughput_counter().reset()
+    eng = PagedEngine(params, MODEL, ENGINE)
+    eng.run(store_a)
+
+    cfg4 = EngineConfig(**{**ENGINE.__dict__, "n_forward_rounds": 4})
+    get_global_throughput_counter().reset()
+    eng4 = PagedEngine(params, MODEL, cfg4)
+    eng4.run(store_b)
+
+    assert len(store_a.finished) == len(store_b.finished) == n_items
+    for rid in range(n_items):
+        assert store_a.finished[rid].tokens == store_b.finished[rid].tokens
+
+
+def test_paged_engine_under_page_pressure(params, rng):
+    """Tiny pool forces admission control + preemption; everything must
+    still finish with correct outputs vs the dense engine."""
+    n_items = 20
+    store_a, _ = make_requests(rng, n_items, 24, MODEL.n_vocab, MODEL.eof_token_id)
+    store_b = ItemStorage()
+    for i in range(n_items):
+        store_b.add_new_item(Request(i, list(store_a._new[i].tokens)))
+
+    run_engine(DenseEngine, params, store_a)
+
+    small = EngineConfig(**{**ENGINE.__dict__, "n_pages": 12})
+    get_global_throughput_counter().reset()
+    eng = PagedEngine(params, MODEL, small)
+    eng.run(store_b)
+
+    assert len(store_b.finished) == n_items
+    for rid in range(n_items):
+        assert store_a.finished[rid].tokens == store_b.finished[rid].tokens
