@@ -135,10 +135,16 @@ def _decode_rounds(
     if attention_impl == "pallas":
         from ..ops.paged_attention import paged_decode_attention
 
+        # Pallas compiles natively on TPU (incl. the tunneled "axon"
+        # platform); on CPU (tests) it runs in interpreter mode. Decided at
+        # trace time — the backend is static.
+        interpret = jax.default_backend() == "cpu"
+
         def attend_impl(kp, vp, q, lens):
             return paged_decode_attention(
-                q, kp, vp, lens, page_table, n_heads=model_cfg.n_heads
-            )
+                q, kp, vp, lens, page_table,
+                n_heads=model_cfg.n_heads, interpret=interpret,
+            ).astype(q.dtype)
     else:
         def attend_impl(kp, vp, q, lens):
             kctx = gather_context(kp, page_table, P)

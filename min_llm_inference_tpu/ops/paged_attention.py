@@ -1,0 +1,289 @@
+"""Fused Pallas paged-attention decode kernel.
+
+The TPU-native replacement for the reference's per-token paged decode
+pipeline (qkt_paged_attention + softmax_in_place_with_lengths +
+softmax_v_paged_attention, /root/reference/src/kernels/paged_attention.cu:
+208-326) — one kernel instead of three, flash-style online softmax instead
+of a materialized [B, n_seq] score matrix:
+
+  * page indices ride in as scalar-prefetch SMEM operands, the TPU analogue
+    of the reference's shared-memory ``page_pos`` caching trick
+    (paged_attention.cu:38-44; README.md:56-72): indices are available
+    before the kernel body, so page DMAs are issued ahead of compute;
+  * K/V pages stream HBM -> VMEM with double-buffered async DMA, one DMA
+    per (non-contiguous) page, next block prefetched while the current one
+    is in the MXU;
+  * per-slot ``lengths`` masking, with length-0 (dead) slots producing
+    exact zeros — the engine's liveness convention.
+
+Layout (framework-native, differs from jax.experimental's kernel):
+  q:          [B, D]           D = n_heads * head_dim, packed
+  k/v_pages:  [n_pages, page_size, D]  one shared pool, heads packed
+  lengths:    [B] int32        0 = dead slot
+  page_table: [B, W] int32     page ids per slot (stale beyond its pages)
+Returns [B, D] float32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class _PageBlockCopy:
+    """Async-copy descriptor for one compute block of KV pages: one DMA per
+    page (pages are non-contiguous in the pool), all started concurrently."""
+
+    def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tbl_ref, b, block_start, n_pages_to_load):
+        self._buf = vmem_buf
+        self._copies = [
+            pltpu.make_async_copy(
+                pages_hbm_ref.at[page_tbl_ref[b, block_start + j]],
+                vmem_buf.at[j],
+                sem,
+            )
+            for j in range(n_pages_to_load)
+        ]
+
+    def start(self):
+        for c in self._copies:
+            c.start()
+
+    def wait_and_get(self):
+        for c in self._copies:
+            c.wait()
+        ppcb, page_size, d = self._buf.shape
+        return self._buf[...].astype(jnp.float32).reshape(ppcb * page_size, d)
+
+
+def _paged_decode_kernel(
+    # scalar prefetch
+    lengths_ref,        # [B] int32 (SMEM)
+    page_tbl_ref,       # [B, W] int32 (SMEM)
+    buffer_index_ref,   # [1] int32 (SMEM, mutable)
+    init_flag_ref,      # [1] int32 (SMEM, mutable)
+    # inputs
+    q_ref,              # [H, dh] block (VMEM)
+    k_pages_hbm,        # [NP, P, D] (ANY/HBM)
+    v_pages_hbm,
+    # outputs
+    o_ref,              # [H, dh] block (VMEM)
+    # scratch
+    m_scratch,          # [H, dh] f32
+    l_scratch,          # [H, dh] f32
+    k_buf,              # [2, ppcb, P, D]
+    v_buf,
+    k_sem,
+    v_sem,
+    *,
+    batch_size: int,
+    pages_per_compute_block: int,
+    n_heads: int,
+    mask_value: float = MASK_VALUE,
+):
+    b, i = pl.program_id(0), pl.program_id(1)
+    ppcb = pages_per_compute_block
+    page_size = k_buf.shape[2]
+    bk = ppcb * page_size
+    length = lengths_ref[b]
+
+    def make_copies(b_, i_, buf_idx):
+        k_copy = _PageBlockCopy(
+            k_pages_hbm, k_buf.at[buf_idx], k_sem.at[buf_idx],
+            page_tbl_ref, b_, i_ * ppcb, ppcb,
+        )
+        v_copy = _PageBlockCopy(
+            v_pages_hbm, v_buf.at[buf_idx], v_sem.at[buf_idx],
+            page_tbl_ref, b_, i_ * ppcb, ppcb,
+        )
+        return k_copy, v_copy
+
+    def next_compute_block(b_, i_):
+        """First (b', i') at or after (b_, i_) whose block is inside its
+        slot's length — skipping dead slots (length 0) entirely."""
+
+        def advance_b():
+            next_b = b_ + 1
+
+            def skip_dead():
+                return lax.fori_loop(
+                    next_b + 1,
+                    batch_size,
+                    lambda _, bb: jnp.where(lengths_ref[bb] == 0, bb + 1, bb),
+                    next_b + 1,
+                )
+
+            return (
+                lax.cond(
+                    jnp.logical_and(
+                        next_b < batch_size,
+                        lengths_ref[lax.clamp(0, next_b, batch_size - 1)] == 0,
+                    ),
+                    skip_dead,
+                    lambda: next_b,
+                ),
+                0,
+            )
+
+        return lax.cond(i_ * bk < length, lambda: (b_, i_), advance_b)
+
+    @pl.when(i == 0)
+    def init():
+        # Dead slots never enter the flash body; this zero IS their output.
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(i * bk < length)
+    def flash_body():
+        init_flag = init_flag_ref[0]
+        init_flag_ref[0] = 0
+        buffer_index = buffer_index_ref[0]
+        next_b, next_i = next_compute_block(b, i + 1)
+
+        @pl.when(init_flag == 1)
+        def prefetch_first():
+            k_copy, v_copy = make_copies(b, i, buffer_index)
+            k_copy.start()
+            v_copy.start()
+
+        @pl.when(next_b < batch_size)
+        def prefetch_next():
+            nbi = jnp.where(buffer_index == 0, 1, 0)
+            k_copy, v_copy = make_copies(next_b, next_i, nbi)
+            k_copy.start()
+            v_copy.start()
+            buffer_index_ref[0] = nbi
+
+        k_copy, v_copy = make_copies(b, i, buffer_index)
+        q = q_ref[...].astype(jnp.float32)          # [H, dh]
+        dh = q.shape[-1]
+        k = k_copy.wait_and_get()                    # [bk, D]
+        # qk[h, t] = sum_d q[h, d] * k[t, h*dh + d], scaled 1/sqrt(dh) like
+        # the reference qkt kernel (scale applied at score time). Heads are
+        # a static unrolled loop — Mosaic has no batched dot_general.
+        qk = jnp.concatenate(
+            [
+                lax.dot_general(
+                    q[h : h + 1, :], k[:, h * dh : (h + 1) * dh],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(n_heads)
+            ],
+            axis=0,
+        ) * (dh ** -0.5)                             # [H, bk]
+        mask = i * bk + lax.broadcasted_iota(jnp.int32, qk.shape, 1) < length
+        qk = qk + jnp.where(mask, 0.0, mask_value)
+
+        m_prev, l_prev = m_scratch[...], l_scratch[...]   # [H, dh]
+        m_curr = jnp.max(qk, axis=-1)                     # [H]
+        s_curr = jnp.exp(qk - m_curr[..., None])          # [H, bk]
+        l_curr = lax.broadcast_in_dim(jnp.sum(s_curr, axis=-1), l_prev.shape, (0,))
+        m_curr = lax.broadcast_in_dim(m_curr, m_prev.shape, (0,))
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.exp(m_prev - m_next)
+        beta = jnp.exp(m_curr - m_next)
+        l_next = alpha * l_prev + beta * l_curr
+        m_scratch[...], l_scratch[...] = m_next, l_next
+
+        v = v_copy.wait_and_get()                    # [bk, D]
+        o_curr = jnp.concatenate(
+            [
+                lax.dot_general(
+                    s_curr[h : h + 1, :], v[:, h * dh : (h + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                for h in range(n_heads)
+            ],
+            axis=0,
+        )                                            # [H, dh]
+        o_ref[...] = (
+            (l_prev * alpha * o_ref[...] + beta * o_curr) / l_next
+        ).astype(o_ref.dtype)
+
+
+def _choose_ppcb(w: int, page_size: int, d: int, kv_bytes: int) -> int:
+    """Largest divisor of W keeping the double-buffered KV VMEM under ~8MB."""
+    budget = 8 * 1024 * 1024
+    best = 1
+    for c in range(1, w + 1):
+        if w % c == 0 and 4 * c * page_size * d * kv_bytes <= budget:
+            best = c
+    return best
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_heads", "pages_per_compute_block", "interpret")
+)
+def paged_decode_attention(
+    q,            # [B, D]
+    k_pages,      # [NP, P, D]
+    v_pages,
+    lengths,      # [B] int32
+    page_table,   # [B, W] int32
+    *,
+    n_heads: int = 1,
+    pages_per_compute_block: int | None = None,
+    interpret: bool = False,
+):
+    B, D = q.shape
+    NP, P, Dk = k_pages.shape
+    assert Dk == D and v_pages.shape == k_pages.shape
+    W = page_table.shape[1]
+    assert D % n_heads == 0
+    dh = D // n_heads
+    ppcb = pages_per_compute_block or _choose_ppcb(W, P, D, k_pages.dtype.itemsize)
+    assert W % ppcb == 0
+
+    q3 = q.reshape(B, n_heads, dh)
+    block_spec = pl.BlockSpec((None, n_heads, dh), lambda b, i, *_: (b, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_decode_kernel,
+            batch_size=B,
+            pages_per_compute_block=ppcb,
+            n_heads=n_heads,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            in_specs=[
+                block_spec,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=block_spec,
+            grid=(B, W // ppcb),
+            scratch_shapes=[
+                pltpu.VMEM((n_heads, dh), jnp.float32),  # m
+                pltpu.VMEM((n_heads, dh), jnp.float32),  # l
+                pltpu.VMEM((2, ppcb, P, D), k_pages.dtype),
+                pltpu.VMEM((2, ppcb, P, D), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_heads, dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        lengths,
+        page_table,
+        jnp.zeros((1,), jnp.int32),  # buffer_index
+        jnp.ones((1,), jnp.int32),   # init_flag
+        q3,
+        k_pages,
+        v_pages,
+    )
+    return out.reshape(B, D)
