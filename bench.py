@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline benchmark: paged continuous-batching greedy decode throughput.
+
+Mirrors the reference's profile workload
+(/root/reference/tests/paged_cubluas_for_profile.cpp:9-19):
+max_batches=1024, n_pages=4096, n_sequence=128, emb=2048, n_vocab=1024,
+2048 requests with uniform prompt lengths in [1, 64], n_forward_rounds=1,
+uniform(0,1) weights with the EOF embedding row scaled by 1.0001 (so, as in
+the reference, sequences run to the n_sequence cap: ~196k generated
+tokens). Baseline to beat: 123,284 tok/s (reference README.md:79-82,
+best published lineage — cuBLAS projections + warp-tiled prefill).
+
+Prints ONE JSON line:
+  {"metric": "decode_tokens_per_s", "value": N, "unit": "tok/s",
+   "vs_baseline": N/123284}
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from min_llm_inference_tpu import (
+    EngineConfig,
+    ItemStorage,
+    ModelConfig,
+    PagedEngine,
+    Request,
+    get_global_throughput_counter,
+)
+
+BASELINE_TOK_S = 123284.0
+
+
+def bench_params(rng, model_cfg: ModelConfig):
+    """Uniform(0,1) weights like the reference's curand init
+    (src/kernels/rand_assign.cu), EOF row scaled 1.0001
+    (tests/test_utils.cpp get_random_device_emb_table)."""
+    dt = model_cfg.jax_dtype
+    V, D, S = model_cfg.n_vocab, model_cfg.emb_dim, model_cfg.n_seq
+
+    def u(shape):
+        return jnp.asarray(rng.random(shape, dtype=np.float32), dt)
+
+    wte = np.asarray(rng.random((V, D), dtype=np.float32))
+    wte[model_cfg.eof_token_id] *= 1.0001
+    return {
+        "wte": jnp.asarray(wte, dt),
+        "wpe": u((S, D)),
+        "layers": [{"wq": u((D, D)), "wk": u((D, D)), "wv": u((D, D))}],
+    }
+
+
+def build_store(rng, n_requests, max_prompt, n_vocab):
+    store = ItemStorage()
+    for i in range(n_requests):
+        ln = int(rng.integers(1, max_prompt + 1))
+        store.add_new_item(
+            Request(i, rng.integers(0, n_vocab - 1, ln).tolist())
+        )
+    return store
+
+
+def run_once(params, model_cfg, engine_cfg, store, attention):
+    engine = PagedEngine(params, model_cfg, engine_cfg, attention_impl=attention)
+    engine.run(store)
+    return get_global_throughput_counter()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=1024)
+    ap.add_argument("--pages", type=int, default=4096)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--emb", type=int, default=2048)
+    ap.add_argument("--vocab", type=int, default=1024)
+    ap.add_argument("--requests", type=int, default=2048)
+    ap.add_argument("--rounds", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--kv-dtype", default=None)
+    ap.add_argument("--attention", default="pallas", choices=["jnp", "pallas"])
+    ap.add_argument("--max-prefill-batch", type=int, default=128)
+    ap.add_argument("--no-warmup", action="store_true")
+    args = ap.parse_args()
+
+    model_cfg = ModelConfig(
+        n_vocab=args.vocab, emb_dim=args.emb, n_seq=args.seq,
+        eof_token_id=args.vocab - 1, dtype=args.dtype,
+    )
+    engine_cfg = EngineConfig(
+        n_slots=args.slots, n_pages=args.pages,
+        n_forward_rounds=args.rounds,
+        kv_dtype=args.kv_dtype or args.dtype,
+        max_prefill_batch=args.max_prefill_batch,
+    )
+    rng = np.random.default_rng(0)
+    params = bench_params(rng, model_cfg)
+
+    if not args.no_warmup:
+        # Warm run: compiles every jit (prefill bucket, decode) on a small
+        # request stream; jit caches are keyed per config so the timed run
+        # recompiles nothing.
+        warm_store = build_store(rng, min(args.slots, 64), min(64, args.seq // 2), args.vocab)
+        run_once(params, model_cfg, engine_cfg, warm_store, args.attention)
+
+    get_global_throughput_counter().reset()  # before submits, for TTFT
+    store = build_store(rng, args.requests, min(64, args.seq // 2), args.vocab)
+    counter = run_once(params, model_cfg, engine_cfg, store, args.attention)
+
+    tok_s = counter.tokens_per_second
+    result = {
+        "metric": "decode_tokens_per_s",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
+        "total_tokens": counter.total_tokens,
+        "seconds": round(counter.elapsed_seconds, 3),
+        "p50_ttft_ms": round(counter.ttft_percentile(0.5) * 1e3, 1),
+        "config": {
+            "slots": args.slots, "pages": args.pages, "seq": args.seq,
+            "emb": args.emb, "vocab": args.vocab, "requests": args.requests,
+            "dtype": args.dtype, "kv_dtype": args.kv_dtype or args.dtype,
+            "attention": args.attention, "rounds": args.rounds,
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
