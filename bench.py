@@ -83,7 +83,9 @@ def main():
     ap.add_argument("--emb", type=int, default=2048)
     ap.add_argument("--vocab", type=int, default=1024)
     ap.add_argument("--requests", type=int, default=2048)
-    ap.add_argument("--rounds", type=int, default=1)
+    ap.add_argument("--rounds", type=int, default=16)
+    ap.add_argument("--page-size", type=int, default=16)
+    ap.add_argument("--init-pages", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv-dtype", default=None)
     ap.add_argument("--attention", default="pallas", choices=["jnp", "pallas"])
@@ -98,6 +100,7 @@ def main():
     engine_cfg = EngineConfig(
         n_slots=args.slots, n_pages=args.pages,
         n_forward_rounds=args.rounds,
+        page_size=args.page_size, init_num_pages=args.init_pages,
         kv_dtype=args.kv_dtype or args.dtype,
         max_prefill_batch=args.max_prefill_batch,
     )

@@ -24,6 +24,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, ModelConfig
@@ -172,31 +173,60 @@ class PagedEngine(_EngineBase):
         return rows
 
     def run(self, item_storage: ItemStorage) -> None:
+        """The hot loop. D2H through the device transport is the expensive
+        operation (one RPC round-trip per pulled array), so per iteration
+        exactly ONE array — the decode results — is pulled; device
+        ``lengths``/``last_tokens`` outputs are fed straight back into the
+        next decode call, and the host mirrors them from the results with
+        the same deterministic rules. Host staging is re-uploaded only when
+        the scheduler actually changed it (inserts / preemptions)."""
         processing = ProcessingStorage()
         counter = get_global_throughput_counter()
         with jax.profiler.TraceAnnotation("paged_engine"):
             new_slots = self._insert(item_storage, processing)
+            host_dirty = True  # lengths/last staged by insert must upload
+            lengths_dev = last_dev = None
             counter.start_record()
             while not is_done(item_storage, processing):
                 if new_slots:
                     with jax.profiler.TraceAnnotation("prefill"):
                         self._run_prefill(new_slots)
+                if host_dirty or lengths_dev is None:
+                    lengths_in = jnp.asarray(self.lengths)
+                    last_in = jnp.asarray(self.last_tokens)
+                else:
+                    lengths_in, last_in = lengths_dev, last_dev
                 with jax.profiler.TraceAnnotation("decode"):
                     self.state, lengths_dev, last_dev, results_dev = self._decode(
                         self.params, self.state, self._flush_table(),
-                        self.lengths, self.last_tokens,
+                        lengths_in, last_in,
                     )
                 with jax.profiler.TraceAnnotation("process_results"):
-                    results = self._pull(lengths_dev, last_dev, results_dev)
+                    results = np.asarray(results_dev)  # the one D2H pull
                     finished = process_decoder_result(
                         results, item_storage, processing,
                         self.model_cfg.n_seq, self.model_cfg.eof_token_id,
                     )
+                    # Host mirror of device lengths/last (identical rules:
+                    # live slot holds its full token count, finished/empty
+                    # slots hold 0).
+                    for slot in processing.slots():
+                        req = processing.get(slot)
+                        self.lengths[slot] = len(req.tokens)
+                        self.last_tokens[slot] = req.tokens[-1]
+                    for slot in finished:
+                        if not processing.contains(slot):
+                            self.lengths[slot] = 0
                 with jax.profiler.TraceAnnotation("schedule"):
-                    allocate_or_free_pages(
+                    preempted = allocate_or_free_pages(
                         self.page_table, self.pool, processing, item_storage,
                         finished, self.engine_cfg.n_forward_rounds,
                         self.engine_cfg.page_size,
                     )
+                    for slot in preempted:
+                        self.lengths[slot] = 0
                     new_slots = self._insert(item_storage, processing)
+                    # device lengths differ from the mirror only when the
+                    # scheduler wrote it: admissions or preemptions
+                    host_dirty = bool(new_slots) or bool(preempted)
             counter.stop_record()

@@ -104,9 +104,12 @@ def allocate_or_free_pages(
     finished_indices: List[int],
     n_forward_rounds: int,
     page_size: int,
-) -> None:
+) -> List[int]:
+    """Returns the slots preempted this call (their device lengths must be
+    zeroed by the caller before the next decode)."""
     assert 0 < n_forward_rounds <= page_size
     finished = set(finished_indices)
+    preempted: List[int] = []
 
     # Phase 1: free pages of finished/emptied slots.
     kept: List[Tuple[int, List[int]]] = []
@@ -146,15 +149,18 @@ def allocate_or_free_pages(
                 processing.move_to_new(slot, item_storage)
                 pool.return_pages(pages)
                 page_table.used.pop(i)
+                preempted.append(slot)
                 # loop ends naturally
             else:
                 # Pool dry: preempt the used-list tail to fund this slot.
                 victim_slot, victim_pages = page_table.used.pop()
                 processing.move_to_new(victim_slot, item_storage)
                 pool.return_pages(victim_pages)
+                preempted.append(victim_slot)
                 # retry the same slot with the freed pages
         else:
             i += 1
+    return preempted
 
 
 def insert_new_items_paged(
