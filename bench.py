@@ -16,6 +16,7 @@ Prints ONE JSON line:
 """
 
 import argparse
+import time
 import json
 import os
 import sys
@@ -116,16 +117,19 @@ def main():
 
     get_global_throughput_counter().reset()  # before submits, for TTFT
     store = build_store(rng, args.requests, min(64, args.seq // 2), args.vocab)
+    t0 = time.perf_counter()
     counter = run_once(params, model_cfg, engine_cfg, store, args.attention)
+    wall = time.perf_counter() - t0
 
-    tok_s = counter.tokens_per_second
+    tok_s = counter.total_tokens / wall  # honest wall around the whole run
     result = {
         "metric": "decode_tokens_per_s",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
         "total_tokens": counter.total_tokens,
-        "seconds": round(counter.elapsed_seconds, 3),
+        "seconds": round(wall, 3),
+        "counter_seconds": round(counter.elapsed_seconds, 3),
         "p50_ttft_ms": round(counter.ttft_percentile(0.5) * 1e3, 1),
         "config": {
             "slots": args.slots, "pages": args.pages, "seq": args.seq,

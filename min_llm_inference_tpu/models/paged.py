@@ -124,13 +124,19 @@ def _decode_rounds(
     attention_impl: str,
     params,
     state: PagedKVState,
-    page_table,   # [B, W] int32
-    lengths,      # [B] int32
-    last_tokens,  # [B] int32
+    sched_packed,  # [B, 2+W] int32: col0 len-update (-1 = keep), col1
+                   # last-token-update, cols 2: the page table. One packed
+                   # upload carries every scheduler decision per host step.
+    lengths,      # [B] int32 (device-chained)
+    last_tokens,  # [B] int32 (device-chained)
 ):
     P = engine_cfg.page_size
     NP = engine_cfg.n_pages
     B = lengths.shape[0]
+    upd = sched_packed[:, 0]
+    lengths = jnp.where(upd >= 0, upd, lengths)
+    last_tokens = jnp.where(upd >= 0, sched_packed[:, 1], last_tokens)
+    page_table = sched_packed[:, 2:]
 
     if attention_impl == "pallas":
         from ..ops.paged_attention import paged_decode_attention

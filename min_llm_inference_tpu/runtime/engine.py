@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, ModelConfig
+from ..constants import EMPTY_ROW_TOKEN_ID
 from ..metrics import get_global_throughput_counter
 from ..models.dense import init_dense_state, make_dense_fns
 from ..models.paged import init_paged_state, make_paged_fns
@@ -128,7 +129,29 @@ class DenseEngine(_EngineBase):
 
 class PagedEngine(_EngineBase):
     """Paged-KV continuous batching with admission control, on-demand page
-    growth and recompute-on-preempt (reference src/inferencer.cpp:43-133)."""
+    growth and recompute-on-preempt (reference src/inferencer.cpp:43-133).
+
+    The host loop is TWO-DEEP PIPELINED: burst k is dispatched before
+    burst k-1's results are pulled, so the (RPC-bound) pull and all host
+    scheduling overlap the device's decode compute. This is sound because:
+
+      * device-side liveness is self-consistent one burst ahead — the
+        decode kernel zeroes a slot's length at EOF / the n_seq cap itself
+        (greedy_next_token), so an in-flight burst handles finishes without
+        host help;
+      * the host only ever *injects* state: admissions and preemptions ride
+        a packed per-slot update column in the next decode call's
+        scheduler operand (no full-array rewind of device-chained state);
+      * page growth uses a 2-burst horizon (lookahead = 2*n_forward_rounds)
+        so the in-flight burst always fits its pages;
+      * greedy decode is deterministic, so dropping a preempted slot's
+        in-flight tokens is safe — recompute-on-preempt regenerates them
+        exactly (the reference's preemption contract, made cheap by
+        determinism).
+
+    Per iteration exactly TWO transport round-trips remain: one packed
+    int32 [n_slots, 2+W] scheduler upload and one results pull.
+    """
 
     def __init__(
         self,
@@ -144,26 +167,20 @@ class PagedEngine(_EngineBase):
             model_cfg, engine_cfg, attention_impl
         )
         self.pool = PagePool(engine_cfg.n_pages)
-        self.page_table = PageTable(
-            engine_cfg.n_slots, engine_cfg.pages_per_slot(model_cfg.n_seq)
-        )
-        self._table_dev = None
+        W = engine_cfg.pages_per_slot(model_cfg.n_seq)
+        self.page_table = PageTable(engine_cfg.n_slots, W)
+        # packed scheduler operand: col0 length update (-1 = keep), col1
+        # last-token update, cols 2: the page table
+        self._packed = np.zeros((engine_cfg.n_slots, 2 + W), dtype=np.int32)
+        self.lookahead = 2 * engine_cfg.n_forward_rounds
 
     def _insert(self, item_storage: ItemStorage, processing: ProcessingStorage):
         return insert_new_items_paged(
             self.prompts, self.lengths, self.last_tokens,
             item_storage, processing, self.pool, self.page_table,
             self.engine_cfg.n_forward_rounds, self.engine_cfg.page_size,
-            self.engine_cfg.init_num_pages,
+            self.engine_cfg.init_num_pages, self.lookahead,
         )
-
-    def _flush_table(self):
-        t = self.page_table.flush()
-        if t is not None or self._table_dev is None:
-            self._table_dev = jax.device_put(
-                np.ascontiguousarray(self.page_table.table)
-            )
-        return self._table_dev
 
     def _prefill_slot_arg(self, chunk: List[int], M: int) -> np.ndarray:
         W = self.page_table.table.shape[1]
@@ -172,61 +189,116 @@ class PagedEngine(_EngineBase):
             rows[j] = self.page_table.table[slot]
         return rows
 
+    def _process_results(self, results, item_storage, processing, skip_slots):
+        """Pipelined results walk: skip slots admitted after this burst was
+        dispatched (their EMPTY rows are expected) and slots no longer in
+        processing (preempted while the burst was in flight — their tokens
+        are dropped and will be regenerated identically after re-admission).
+        Otherwise identical to process_decoder_result
+        (reference item_storage.cpp:97-139)."""
+        counter = get_global_throughput_counter()
+        n_slots, n_rounds = results.shape
+        finished_indices = []
+        total = 0
+        eof = self.model_cfg.eof_token_id
+        n_seq = self.model_cfg.n_seq
+        for slot in range(n_slots):
+            if slot in skip_slots or not processing.contains(slot):
+                continue
+            req = processing.get(slot)
+            finished = False
+            empty = False
+            for j in range(n_rounds):
+                tok = int(results[slot, j])
+                if tok == EMPTY_ROW_TOKEN_ID:
+                    empty = True  # defensive: should not occur for live slots
+                else:
+                    if len(req.tokens) == req.prompt_len:
+                        counter.note_first_token(req.id)
+                    req.tokens.append(tok)
+                    total += 1
+                    if len(req.tokens) >= n_seq or tok == eof:
+                        finished = True
+                if finished or empty:
+                    break
+            if finished or empty:
+                finished_indices.append(slot)
+            if finished:
+                processing.move_to_finished(slot, item_storage)
+        counter.add_record_if_recording(total)
+        return finished_indices
+
+    def _schedule(self, item_storage, processing, finished):
+        """Page realloc + admission; returns (new_slots, packed operand for
+        the NEXT decode dispatch)."""
+        preempted = allocate_or_free_pages(
+            self.page_table, self.pool, processing, item_storage,
+            finished, self.engine_cfg.n_forward_rounds,
+            self.engine_cfg.page_size, self.lookahead,
+        )
+        new_slots = self._insert(item_storage, processing)
+        self._packed[:, 0] = -1
+        for slot in preempted:
+            self._packed[slot, 0] = 0
+        for slot in new_slots:
+            self._packed[slot, 0] = self.lengths[slot]
+            self._packed[slot, 1] = self.last_tokens[slot]
+        self._packed[:, 2:] = self.page_table.table
+        return new_slots
+
     def run(self, item_storage: ItemStorage) -> None:
-        """The hot loop. D2H through the device transport is the expensive
-        operation (one RPC round-trip per pulled array), so per iteration
-        exactly ONE array — the decode results — is pulled; device
-        ``lengths``/``last_tokens`` outputs are fed straight back into the
-        next decode call, and the host mirrors them from the results with
-        the same deterministic rules. Host staging is re-uploaded only when
-        the scheduler actually changed it (inserts / preemptions)."""
         processing = ProcessingStorage()
         counter = get_global_throughput_counter()
-        with jax.profiler.TraceAnnotation("paged_engine"):
-            new_slots = self._insert(item_storage, processing)
-            host_dirty = True  # lengths/last staged by insert must upload
-            lengths_dev = last_dev = None
-            counter.start_record()
-            while not is_done(item_storage, processing):
+        B = self.engine_cfg.n_slots
+        R = self.engine_cfg.n_forward_rounds
+
+        # initial schedule: admissions into an all-dead device state
+        new_slots = self._insert(item_storage, processing)
+        self._packed[:, 0] = 0  # every slot starts dead...
+        self._packed[:, 1] = 0
+        for slot in new_slots:
+            self._packed[slot, 0] = self.lengths[slot]
+            self._packed[slot, 1] = self.last_tokens[slot]
+        self._packed[:, 2:] = self.page_table.table
+        skip_slots = set()  # first burst runs after prefill: nothing to skip
+        if new_slots:
+            self._run_prefill(new_slots)
+        lengths_dev = jnp.zeros(B, jnp.int32)
+        last_dev = jnp.zeros(B, jnp.int32)
+
+        counter.start_record()
+        pending = None
+        while True:
+            dispatched = False
+            if processing.size() > 0:
+                self.state, lengths_dev, last_dev, results_dev = self._decode(
+                    self.params, self.state, jnp.asarray(self._packed),
+                    lengths_dev, last_dev,
+                )
+                dispatched = True
+                self._packed[:, 0] = -1  # consumed
+            if pending is not None:
+                results = np.asarray(pending)  # the one D2H pull
+                finished = self._process_results(
+                    results, item_storage, processing, skip_slots
+                )
+                # host mirror for staging/scheduling
+                for slot in processing.slots():
+                    req = processing.get(slot)
+                    self.lengths[slot] = len(req.tokens)
+                    self.last_tokens[slot] = req.tokens[-1]
+                new_slots = self._schedule(item_storage, processing, finished)
+                skip_slots = set(new_slots)
                 if new_slots:
-                    with jax.profiler.TraceAnnotation("prefill"):
-                        self._run_prefill(new_slots)
-                if host_dirty or lengths_dev is None:
-                    lengths_in = jnp.asarray(self.lengths)
-                    last_in = jnp.asarray(self.last_tokens)
-                else:
-                    lengths_in, last_in = lengths_dev, last_dev
-                with jax.profiler.TraceAnnotation("decode"):
-                    self.state, lengths_dev, last_dev, results_dev = self._decode(
-                        self.params, self.state, self._flush_table(),
-                        lengths_in, last_in,
-                    )
-                with jax.profiler.TraceAnnotation("process_results"):
-                    results = np.asarray(results_dev)  # the one D2H pull
-                    finished = process_decoder_result(
-                        results, item_storage, processing,
-                        self.model_cfg.n_seq, self.model_cfg.eof_token_id,
-                    )
-                    # Host mirror of device lengths/last (identical rules:
-                    # live slot holds its full token count, finished/empty
-                    # slots hold 0).
-                    for slot in processing.slots():
-                        req = processing.get(slot)
-                        self.lengths[slot] = len(req.tokens)
-                        self.last_tokens[slot] = req.tokens[-1]
-                    for slot in finished:
-                        if not processing.contains(slot):
-                            self.lengths[slot] = 0
-                with jax.profiler.TraceAnnotation("schedule"):
-                    preempted = allocate_or_free_pages(
-                        self.page_table, self.pool, processing, item_storage,
-                        finished, self.engine_cfg.n_forward_rounds,
-                        self.engine_cfg.page_size,
-                    )
-                    for slot in preempted:
-                        self.lengths[slot] = 0
-                    new_slots = self._insert(item_storage, processing)
-                    # device lengths differ from the mirror only when the
-                    # scheduler wrote it: admissions or preemptions
-                    host_dirty = bool(new_slots) or bool(preempted)
-            counter.stop_record()
+                    # enqueued after the in-flight burst; runs before the
+                    # next dispatch reads these pages
+                    self._run_prefill(new_slots)
+            if not dispatched:
+                if is_done(item_storage, processing):
+                    break
+                # nothing in flight but work still queued (e.g. everything
+                # preempted): loop to re-dispatch after scheduling
+                pending = None
+                continue
+            pending = results_dev
+        counter.stop_record()

@@ -104,10 +104,18 @@ def allocate_or_free_pages(
     finished_indices: List[int],
     n_forward_rounds: int,
     page_size: int,
+    lookahead_tokens: Optional[int] = None,
 ) -> List[int]:
     """Returns the slots preempted this call (their device lengths must be
-    zeroed by the caller before the next decode)."""
+    zeroed by the caller before the next decode).
+
+    ``lookahead_tokens`` is the page-growth horizon: how many tokens beyond
+    the known length a live slot must have page room for. The sequential
+    engine uses n_forward_rounds (one burst); the pipelined engine uses
+    2*n_forward_rounds because it dispatches a burst before processing the
+    previous burst's results."""
     assert 0 < n_forward_rounds <= page_size
+    horizon = n_forward_rounds if lookahead_tokens is None else lookahead_tokens
     finished = set(finished_indices)
     preempted: List[int] = []
 
@@ -138,12 +146,11 @@ def allocate_or_free_pages(
         n_tokens = len(processing.get(slot).tokens)
         if len(pages) >= max_pages:
             i += 1
-        elif n_tokens + n_forward_rounds > len(pages) * page_size:
+        elif n_tokens + horizon > len(pages) * page_size:
             if pool.free_count() > 0:
                 page_table.grow_slot(entry, pool.pop_pages(1)[0])
-                # re-check the same slot is unnecessary: one page always
-                # suffices (n_forward_rounds <= page_size)
-                i += 1
+                # re-check the same slot: a multi-burst horizon may need
+                # more than one page
             elif i == len(page_table.used) - 1:
                 # Pool dry and this slot is the tail: preempt itself.
                 processing.move_to_new(slot, item_storage)
@@ -174,10 +181,12 @@ def insert_new_items_paged(
     n_forward_rounds: int,
     page_size: int,
     init_num_pages: int,
+    lookahead_tokens: Optional[int] = None,
 ) -> List[int]:
     """Admission: fill unoccupied slots from the new-items queue while pages
     last. Returns newly inserted slot ids."""
     assert 0 < n_forward_rounds <= page_size
+    horizon = n_forward_rounds if lookahead_tokens is None else lookahead_tokens
     n_slots, n_seq = prompts.shape
     # Per-slot page grants are capped at the table row width (see
     # allocate_or_free_pages).
@@ -192,7 +201,7 @@ def insert_new_items_paged(
             and item_storage.new_count() > 0
             and pool.free_count()
             >= min(
-                ceil_div(item_storage.head_length() + n_forward_rounds, page_size),
+                ceil_div(item_storage.head_length() + horizon, page_size),
                 max_pages,
             )
         ):
@@ -203,7 +212,7 @@ def insert_new_items_paged(
             last_tokens[slot] = req.tokens[-1]
             n_pages = min(
                 max(
-                    ceil_div(len(req.tokens) + n_forward_rounds, page_size),
+                    ceil_div(len(req.tokens) + horizon, page_size),
                     init_num_pages,
                 ),
                 max_pages,

@@ -73,8 +73,11 @@ def test_sharded_matches_unsharded(dp, tp):
     u_prefill, u_decode = make_paged_fns(MODEL, ENGINE, "jnp")
     u_state = init_paged_state(MODEL, ENGINE)
     u_state = u_prefill(params, u_state, prompts, lengths, global_table)
+    W = global_table.shape[1]
+    packed = np.full((ENGINE.n_slots, 2 + W), -1, dtype=np.int32)
+    packed[:, 2:] = global_table
     u_state, u_len, u_last, u_toks = u_decode(
-        params, u_state, jnp.asarray(global_table), jnp.asarray(lengths),
+        params, u_state, jnp.asarray(packed), jnp.asarray(lengths),
         jnp.asarray(last),
     )
 
