@@ -34,22 +34,33 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
+from ..ops.quant import dequantize_rows, quantize_tokens_per_page
 from ..ops.reference import masked_attention
 from .model import decode_round_tokens, prefill_write_kv
 
 
 class PagedKVState(NamedTuple):
-    # tuples of per-layer arrays [n_pages, page_size, emb]
+    # tuples of per-layer arrays [n_pages, page_size, emb]; for int8 KV the
+    # pages are int8 with one fp32 scale per PAGE in *_scales [n_pages]
+    # (None entries when unquantized) — per-page scales ride into the
+    # Pallas kernel as scalar prefetch, costing zero extra DMA
     k_pages: Tuple[jax.Array, ...]
     v_pages: Tuple[jax.Array, ...]
+    k_scales: Tuple = ()
+    v_scales: Tuple = ()
 
 
 def init_paged_state(model_cfg: ModelConfig, engine_cfg: EngineConfig) -> PagedKVState:
     shape = (engine_cfg.n_pages, engine_cfg.page_size, model_cfg.emb_dim)
     dtype = engine_cfg.kv_jax_dtype
-    k = tuple(jnp.zeros(shape, dtype) for _ in range(model_cfg.n_layers))
-    v = tuple(jnp.zeros(shape, dtype) for _ in range(model_cfg.n_layers))
-    return PagedKVState(k, v)
+    L = model_cfg.n_layers
+    k = tuple(jnp.zeros(shape, dtype) for _ in range(L))
+    v = tuple(jnp.zeros(shape, dtype) for _ in range(L))
+    if engine_cfg.kv_dtype == "int8":
+        ks = tuple(jnp.zeros((engine_cfg.n_pages,), jnp.float32) for _ in range(L))
+        vs = tuple(jnp.zeros((engine_cfg.n_pages,), jnp.float32) for _ in range(L))
+        return PagedKVState(k, v, ks, vs)
+    return PagedKVState(k, v, (None,) * L, (None,) * L)
 
 
 def _flat_scatter_indices(page_rows, positions, valid, page_size, n_pages):
@@ -76,6 +87,18 @@ def _scatter_tokens(pool, flat_idx, values):
     return flat.reshape(n_pages, P, D)
 
 
+def _write_tokens(pool, scales, flat_idx, values, positions):
+    """Scatter token rows into the pool; int8 pools quantize against their
+    page's scale (set when the page's row 0 is written — see
+    quantize_tokens_per_page)."""
+    if scales is None:
+        return _scatter_tokens(pool, flat_idx, values), None
+    P = pool.shape[1]
+    q, scales = quantize_tokens_per_page(values, flat_idx, scales, P, positions)
+    pool = _scatter_tokens(pool, flat_idx, q)
+    return pool, scales
+
+
 def gather_context(pool, page_table, page_size):
     """Gather each slot's pages into a contiguous [B, W*P, D] view.
 
@@ -87,6 +110,13 @@ def gather_context(pool, page_table, page_size):
     flat = pool.reshape(n_pages * P, D)
     idx = page_table[:, :, None] * P + jnp.arange(P, dtype=page_table.dtype)[None, None, :]
     return flat[jnp.clip(idx.reshape(B, W * P), 0, n_pages * P - 1)]
+
+
+def gather_scales(scales, page_table, page_size):
+    """Expand per-page scales [n_pages] -> per-token [B, W*page_size]."""
+    B, W = page_table.shape
+    per_page = scales[jnp.clip(page_table, 0, scales.shape[0] - 1)]  # [B, W]
+    return jnp.repeat(per_page, page_size, axis=1)
 
 
 def _prefill(
@@ -108,14 +138,24 @@ def _prefill(
 
     k_pages = list(state.k_pages)
     v_pages = list(state.v_pages)
+    k_scales = list(state.k_scales)
+    v_scales = list(state.v_scales)
+
+    flat_positions = positions.reshape(-1)
 
     def write_kv_block(li, k, v):
         D = k.shape[-1]
-        k_pages[li] = _scatter_tokens(k_pages[li], flat_idx, k.reshape(-1, D))
-        v_pages[li] = _scatter_tokens(v_pages[li], flat_idx, v.reshape(-1, D))
+        k_pages[li], k_scales[li] = _write_tokens(
+            k_pages[li], k_scales[li], flat_idx, k.reshape(-1, D), flat_positions
+        )
+        v_pages[li], v_scales[li] = _write_tokens(
+            v_pages[li], v_scales[li], flat_idx, v.reshape(-1, D), flat_positions
+        )
 
     prefill_write_kv(params, model_cfg, prompts, prompt_lengths, write_kv_block)
-    return PagedKVState(tuple(k_pages), tuple(v_pages))
+    return PagedKVState(
+        tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+    )
 
 
 def _decode_rounds(
@@ -146,43 +186,59 @@ def _decode_rounds(
         # trace time — the backend is static.
         interpret = jax.default_backend() == "cpu"
 
-        def attend_impl(kp, vp, q, lens):
+        def attend_impl(kp, vp, ks, vs, q, lens):
             return paged_decode_attention(
                 q, kp, vp, lens, page_table,
+                k_scales=ks, v_scales=vs,
                 n_heads=model_cfg.n_heads, interpret=interpret,
             ).astype(q.dtype)
     else:
-        def attend_impl(kp, vp, q, lens):
+        def attend_impl(kp, vp, ks, vs, q, lens):
             kctx = gather_context(kp, page_table, P)
             vctx = gather_context(vp, page_table, P)
+            if ks is not None:
+                kctx = dequantize_rows(kctx, gather_scales(ks, page_table, P))
+                vctx = dequantize_rows(vctx, gather_scales(vs, page_table, P))
             return masked_attention(q, kctx, vctx, lens, model_cfg.n_heads)
 
     def round_fn(carry, _):
-        k_pages, v_pages, lengths, last = carry
-        k_pages = list(k_pages)
-        v_pages = list(v_pages)
+        k_pages, v_pages, k_scales, v_scales, lengths, last = carry
+        k_pages, v_pages = list(k_pages), list(v_pages)
+        k_scales, v_scales = list(k_scales), list(v_scales)
         live = lengths > 0
         pos = jnp.maximum(lengths - 1, 0)
         flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
 
         def write_kv(li, pos_, k, v, live_):
-            k_pages[li] = _scatter_tokens(k_pages[li], flat_idx, k)
-            v_pages[li] = _scatter_tokens(v_pages[li], flat_idx, v)
+            k_pages[li], k_scales[li] = _write_tokens(
+                k_pages[li], k_scales[li], flat_idx, k, pos
+            )
+            v_pages[li], v_scales[li] = _write_tokens(
+                v_pages[li], v_scales[li], flat_idx, v, pos
+            )
 
         def attend(li, q, lens):
-            return attend_impl(k_pages[li], v_pages[li], q, lens)
+            return attend_impl(
+                k_pages[li], v_pages[li], k_scales[li], v_scales[li], q, lens
+            )
 
         tok, new_lengths = decode_round_tokens(
             params, model_cfg, lengths, last, write_kv, attend
         )
         new_last = jnp.where(live, tok, last)
-        return (tuple(k_pages), tuple(v_pages), new_lengths, new_last), tok
+        return (
+            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales),
+            new_lengths, new_last,
+        ), tok
 
-    (kps, vps, lengths, last), toks = jax.lax.scan(
-        round_fn, (state.k_pages, state.v_pages, lengths, last_tokens), None,
+    (kps, vps, kss, vss, lengths, last), toks = jax.lax.scan(
+        round_fn,
+        (state.k_pages, state.v_pages, state.k_scales, state.v_scales,
+         lengths, last_tokens),
+        None,
         length=engine_cfg.n_forward_rounds,
     )
-    return PagedKVState(kps, vps), lengths, last, toks.T
+    return PagedKVState(kps, vps, kss, vss), lengths, last, toks.T
 
 
 @functools.lru_cache(maxsize=None)

@@ -14,13 +14,18 @@ of a materialized [B, n_seq] score matrix:
     per (non-contiguous) page, next block prefetched while the current one
     is in the MXU;
   * per-slot ``lengths`` masking, with length-0 (dead) slots producing
-    exact zeros — the engine's liveness convention.
+    exact zeros — the engine's liveness convention;
+  * INT8 KV: pages are int8 with one fp32 scale per page; the scales also
+    ride scalar prefetch (SMEM), so the quantized path DMAs exactly half
+    the bytes of bf16 — dequant is a per-page scalar multiply after the
+    copy.
 
 Layout (framework-native, differs from jax.experimental's kernel):
   q:          [B, D]           D = n_heads * head_dim, packed
   k/v_pages:  [n_pages, page_size, D]  one shared pool, heads packed
   lengths:    [B] int32        0 = dead slot
   page_table: [B, W] int32     page ids per slot (stale beyond its pages)
+  k/v_scales: [n_pages] f32    per-page int8 scales (quantized only)
 Returns [B, D] float32.
 """
 
@@ -56,38 +61,43 @@ class _PageBlockCopy:
         for c in self._copies:
             c.start()
 
-    def wait_and_get(self):
+    def wait_and_get(self, scales_ref=None, page_tbl_ref=None, b=None, block_start=None):
+        """Returns the block as [bk, D] float32; int8 blocks are
+        dequantized with their pages' scalar scales (read from SMEM — no
+        scale DMA)."""
         for c in self._copies:
             c.wait()
         ppcb, page_size, d = self._buf.shape
-        return self._buf[...].astype(jnp.float32).reshape(ppcb * page_size, d)
+        if scales_ref is None:
+            return self._buf[...].astype(jnp.float32).reshape(ppcb * page_size, d)
+        pages = [
+            self._buf[j].astype(jnp.float32)
+            * scales_ref[page_tbl_ref[b, block_start + j]]
+            for j in range(ppcb)
+        ]
+        return jnp.concatenate(pages, axis=0)  # [bk, D]
 
 
 def _paged_decode_kernel(
-    # scalar prefetch
-    lengths_ref,        # [B] int32 (SMEM)
-    page_tbl_ref,       # [B, W] int32 (SMEM)
-    buffer_index_ref,   # [1] int32 (SMEM, mutable)
-    init_flag_ref,      # [1] int32 (SMEM, mutable)
-    # inputs
-    q_ref,              # [H, dh] block (VMEM)
-    k_pages_hbm,        # [NP, P, D] (ANY/HBM)
-    v_pages_hbm,
-    # outputs
-    o_ref,              # [H, dh] block (VMEM)
-    # scratch
-    m_scratch,          # [H, dh] f32
-    l_scratch,          # [H, dh] f32
-    k_buf,              # [2, ppcb, P, D]
-    v_buf,
-    k_sem,
-    v_sem,
-    *,
+    # scalar prefetch (order fixed by the launcher)
+    *refs,
     batch_size: int,
     pages_per_compute_block: int,
     n_heads: int,
+    quantized: bool = False,
     mask_value: float = MASK_VALUE,
 ):
+    if quantized:
+        (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
+         k_scales_ref, v_scales_ref,
+         q_ref, k_pages_hbm, v_pages_hbm,
+         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+    else:
+        (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
+         q_ref, k_pages_hbm, v_pages_hbm,
+         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+        k_scales_ref = v_scales_ref = None
+
     b, i = pl.program_id(0), pl.program_id(1)
     ppcb = pages_per_compute_block
     page_size = k_buf.shape[2]
@@ -165,7 +175,7 @@ def _paged_decode_kernel(
         k_copy, v_copy = make_copies(b, i, buffer_index)
         q = q_ref[...].astype(jnp.float32)          # [H, dh]
         dh = q.shape[-1]
-        k = k_copy.wait_and_get()                    # [bk, D]
+        k = k_copy.wait_and_get(k_scales_ref, page_tbl_ref, b, i * ppcb)
         # qk[h, t] = sum_d q[h, d] * k[t, h*dh + d], scaled 1/sqrt(dh) like
         # the reference qkt kernel (scale applied at score time). Heads are
         # a static unrolled loop — Mosaic has no batched dot_general.
@@ -194,7 +204,7 @@ def _paged_decode_kernel(
         l_next = alpha * l_prev + beta * l_curr
         m_scratch[...], l_scratch[...] = m_next, l_next
 
-        v = v_copy.wait_and_get()                    # [bk, D]
+        v = v_copy.wait_and_get(v_scales_ref, page_tbl_ref, b, i * ppcb)
         o_curr = jnp.concatenate(
             [
                 lax.dot_general(
@@ -230,6 +240,8 @@ def paged_decode_attention(
     v_pages,
     lengths,      # [B] int32
     page_table,   # [B, W] int32
+    k_scales=None,  # [NP] f32 per-page scales (int8 KV)
+    v_scales=None,
     *,
     n_heads: int = 1,
     pages_per_compute_block: int | None = None,
@@ -243,9 +255,21 @@ def paged_decode_attention(
     dh = D // n_heads
     ppcb = pages_per_compute_block or _choose_ppcb(W, P, D, k_pages.dtype.itemsize)
     assert W % ppcb == 0
+    quantized = k_scales is not None
+    if quantized:
+        assert k_scales.shape == (NP,) and v_scales.shape == (NP,)
 
     q3 = q.reshape(B, n_heads, dh)
     block_spec = pl.BlockSpec((None, n_heads, dh), lambda b, i, *_: (b, 0, 0))
+
+    scalar_args = [
+        lengths,
+        page_table,
+        jnp.zeros((1,), jnp.int32),  # buffer_index
+        jnp.ones((1,), jnp.int32),   # init_flag
+    ]
+    if quantized:
+        scalar_args += [k_scales, v_scales]
 
     out = pl.pallas_call(
         functools.partial(
@@ -253,9 +277,10 @@ def paged_decode_attention(
             batch_size=B,
             pages_per_compute_block=ppcb,
             n_heads=n_heads,
+            quantized=quantized,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=len(scalar_args),
             in_specs=[
                 block_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -278,10 +303,7 @@ def paged_decode_attention(
         ),
         interpret=interpret,
     )(
-        lengths,
-        page_table,
-        jnp.zeros((1,), jnp.int32),  # buffer_index
-        jnp.ones((1,), jnp.int32),   # init_flag
+        *scalar_args,
         q3,
         k_pages,
         v_pages,

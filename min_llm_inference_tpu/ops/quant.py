@@ -1,0 +1,112 @@
+"""Quantization ops: INT8 paged-KV and weight-only INT8.
+
+North-star extension beyond the reference (BASELINE.json config 4): the
+paged KV pool stores int8 token rows with one fp32 scale per token
+(per-row absmax / 127); dequantization is fused into the consumers — the
+Pallas decode kernel dequantizes after the page DMA (ops/paged_attention.py),
+the jnp oracle path dequantizes after gather. Weight-only INT8 stores int8
+weights + per-output-column scales, dequantized at use (XLA fuses the
+convert+scale into the matmul read).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+
+
+def quantize_rows(x):
+    """Per-row symmetric int8 quantization.
+
+    x: [..., D] float -> (q int8 [..., D], scales f32 [...]).
+    Zero rows get scale 0 (dequantizes to exact zeros).
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = absmax / INT8_MAX
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(xf * inv[..., None]), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_rows(q, scales):
+    """Inverse of quantize_rows. q: [..., D] int8; scales: [...] f32."""
+    return q.astype(jnp.float32) * scales[..., None].astype(jnp.float32)
+
+
+PAGE_SCALE_HEADROOM = 2.0
+
+
+def quantize_tokens_per_page(values, flat_idx, page_scales, page_size, valid_pos):
+    """Per-PAGE symmetric int8 quantization for paged-KV writes
+    (BASELINE.json north star: "INT8 paged KV-cache, per-page scales").
+
+    A page's scale is set exactly when its FIRST row (position % page_size
+    == 0) is among the writes — prefill always writes pages from their row
+    0, and a decode append hits row 0 only on a fresh page — so scales are
+    assigned deterministically on-device with no host coordination, and
+    stale scales from a page's previous occupant are overwritten. Rows
+    appended later to a partially-filled page are clipped to the existing
+    scale; PAGE_SCALE_HEADROOM leaves room for them.
+
+    values: [N, D]; flat_idx: [N] flat token slots (OOB = dropped rows);
+    page_scales: [n_pages] f32; valid_pos: [N] the in-slot positions of the
+    rows (only pos % page_size == 0 marks a fresh page).
+    Returns (q int8 [N, D], new_page_scales [n_pages]).
+    """
+    n_pages = page_scales.shape[0]
+    vf = values.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(vf), axis=-1)
+    pid = flat_idx // page_size  # OOB rows map >= n_pages -> dropped
+    fresh = (valid_pos % page_size == 0) & (flat_idx < n_pages * page_size)
+    # candidate scale per page: max row absmax over this write batch
+    cand = jnp.zeros((n_pages,), jnp.float32).at[pid].max(
+        absmax, mode="drop"
+    ) * (PAGE_SCALE_HEADROOM / INT8_MAX)
+    fresh_page = jnp.zeros((n_pages,), bool).at[pid].max(fresh, mode="drop")
+    new_scales = jnp.where(fresh_page, cand, page_scales)
+    s_row = new_scales[jnp.clip(pid, 0, n_pages - 1)]
+    inv = jnp.where(s_row > 0, 1.0 / jnp.maximum(s_row, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(vf * inv[:, None]), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, new_scales
+
+
+def quantize_weight(w):
+    """Weight-only int8: per-output-column symmetric scales.
+
+    w: [D_in, D_out] -> (q int8 [D_in, D_out], scales f32 [D_out])."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0)
+    scale = absmax / INT8_MAX
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(wf * inv[None, :]), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_weight(q, scales, dtype=jnp.bfloat16):
+    return (q.astype(jnp.float32) * scales[None, :].astype(jnp.float32)).astype(dtype)
+
+
+def quantize_params(params, dtype=jnp.bfloat16):
+    """Convert every 2D weight in a params pytree to weight-only int8
+    (stored as {"q": int8, "scale": f32} leaves); embeddings included —
+    the tied LM head reads wte through the same dequant."""
+
+    def conv(x):
+        if isinstance(x, jax.Array) and x.ndim == 2:
+            q, s = quantize_weight(x)
+            return {"q": q, "scale": s}
+        return x
+
+    return jax.tree_util.tree_map(
+        conv, params, is_leaf=lambda x: isinstance(x, jax.Array)
+    )
+
+
+def maybe_dequant(w, dtype):
+    """Read a possibly weight-quantized leaf as a dense matrix."""
+    if isinstance(w, dict) and "q" in w:
+        return dequantize_weight(w["q"], w["scale"], dtype)
+    return w
