@@ -37,6 +37,7 @@ from min_llm_inference_tpu import (
     Request,
     get_global_throughput_counter,
 )
+from min_llm_inference_tpu.runtime.autonomous import AutonomousEngine
 
 BASELINE_TOK_S = 123284.0
 
@@ -70,8 +71,14 @@ def build_store(rng, n_requests, max_prompt, n_vocab):
     return store
 
 
-def run_once(params, model_cfg, engine_cfg, store, attention):
-    engine = PagedEngine(params, model_cfg, engine_cfg, attention_impl=attention)
+def run_once(params, model_cfg, engine_cfg, store, attention, engine_kind="host", rounds_chunk=4, capacity=None):
+    if engine_kind == "auto":
+        engine = AutonomousEngine(
+            params, model_cfg, engine_cfg, attention_impl=attention,
+            bursts_per_chunk=rounds_chunk, request_capacity=capacity,
+        )
+    else:
+        engine = PagedEngine(params, model_cfg, engine_cfg, attention_impl=attention)
     engine.run(store)
     return get_global_throughput_counter()
 
@@ -92,6 +99,8 @@ def main():
     ap.add_argument("--attention", default="pallas", choices=["jnp", "pallas"])
     ap.add_argument("--max-prefill-batch", type=int, default=128)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--engine", default="host", choices=["host", "auto"])
+    ap.add_argument("--bursts-per-chunk", type=int, default=4)
     args = ap.parse_args()
 
     model_cfg = ModelConfig(
@@ -113,12 +122,14 @@ def main():
         # request stream; jit caches are keyed per config so the timed run
         # recompiles nothing.
         warm_store = build_store(rng, min(args.slots, 64), min(64, args.seq // 2), args.vocab)
-        run_once(params, model_cfg, engine_cfg, warm_store, args.attention)
+        run_once(params, model_cfg, engine_cfg, warm_store, args.attention,
+                 args.engine, args.bursts_per_chunk, args.requests)
 
     get_global_throughput_counter().reset()  # before submits, for TTFT
     store = build_store(rng, args.requests, min(64, args.seq // 2), args.vocab)
     t0 = time.perf_counter()
-    counter = run_once(params, model_cfg, engine_cfg, store, args.attention)
+    counter = run_once(params, model_cfg, engine_cfg, store, args.attention,
+                       args.engine, args.bursts_per_chunk, args.requests)
     wall = time.perf_counter() - t0
 
     tok_s = counter.total_tokens / wall  # honest wall around the whole run
@@ -136,6 +147,7 @@ def main():
             "emb": args.emb, "vocab": args.vocab, "requests": args.requests,
             "dtype": args.dtype, "kv_dtype": args.kv_dtype or args.dtype,
             "attention": args.attention, "rounds": args.rounds,
+            "engine": args.engine,
             "device": str(jax.devices()[0]),
         },
     }

@@ -1,0 +1,368 @@
+"""Device-autonomous continuous batching: the whole scheduler inside jit.
+
+The host engines (engine.py) keep the reference's host-side scheduling
+shape — but on this platform every device<->host round-trip is an RPC, and
+fetches serialize behind the whole device queue, so even a pipelined host
+loop pays ~(burst + RPC) per iteration. This module moves the ENTIRE
+continuous-batching loop on device, the logical endpoint of the
+reference's direction of travel (its multi-round forward exists to
+amortize host trips, inference_model.cpp:56-81):
+
+  * the request queue (padded prompts + lengths) is preloaded to HBM once;
+  * each jitted burst does: free dead slots' pages (vectorized stack push)
+    -> admit queue-head requests into dead slots (vectorized stack pop,
+    full page grant) -> prefill admitted prompts (lax.cond-skipped when
+    none) -> n_forward_rounds of greedy decode -> scatter generated tokens
+    into a device-resident output buffer;
+  * the host dispatches bursts in chunks and fetches only a 3-int status
+    (live slots, queue head, free pages) between chunks; generated
+    sequences are fetched ONCE at the end.
+
+Trade-off vs the host engines: admission grants a slot ALL its
+pages_per_slot pages upfront (no growth, no preemption), so the pool must
+hold >= concurrent_slots * pages_per_slot pages. Overcommit + preemption
+remain host-engine features. Outputs are token-identical to the host
+engines (greedy decode is deterministic; scheduling changes only slot
+assignment, not per-request math).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig, ModelConfig
+from ..metrics import get_global_throughput_counter
+from ..models.model import decode_round_tokens, prefill_write_kv
+from ..models.paged import (
+    PagedKVState,
+    _flat_scatter_indices,
+    _write_tokens,
+    gather_context,
+    gather_scales,
+    init_paged_state,
+)
+from ..ops.quant import dequantize_rows
+from ..ops.reference import masked_attention
+from .item_storage import ItemStorage, Request
+
+
+class AutoState(NamedTuple):
+    kv: PagedKVState
+    page_table: jax.Array   # [B, W] i32
+    lengths: jax.Array      # [B] i32 (0 = dead)
+    last_tokens: jax.Array  # [B] i32
+    rid: jax.Array          # [B] i32 request index per slot
+    allocated: jax.Array    # [B] bool — slot holds pages (needs freeing)
+    queue_head: jax.Array   # [] i32
+    free_top: jax.Array     # [] i32 — stack[0:free_top] are free pages
+    page_stack: jax.Array   # [NP] i32
+    out_tokens: jax.Array   # [R_total, S] i32 generated tokens by position
+    final_lens: jax.Array   # [R_total] i32 (0 = unfinished)
+
+
+def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests: int) -> AutoState:
+    B = engine_cfg.n_slots
+    W = engine_cfg.pages_per_slot(model_cfg.n_seq)
+    NP = engine_cfg.n_pages
+    return AutoState(
+        kv=init_paged_state(model_cfg, engine_cfg),
+        page_table=jnp.zeros((B, W), jnp.int32),
+        lengths=jnp.zeros(B, jnp.int32),
+        last_tokens=jnp.zeros(B, jnp.int32),
+        rid=jnp.zeros(B, jnp.int32),
+        allocated=jnp.zeros(B, bool),
+        queue_head=jnp.zeros((), jnp.int32),
+        free_top=jnp.asarray(NP, jnp.int32),
+        page_stack=jnp.arange(NP, dtype=jnp.int32),
+        out_tokens=jnp.zeros((n_requests, model_cfg.n_seq), jnp.int32),
+        final_lens=jnp.zeros(n_requests, jnp.int32),
+    )
+
+
+def _attend_fn(model_cfg, engine_cfg, attention_impl, page_table):
+    P = engine_cfg.page_size
+    if attention_impl == "pallas":
+        from ..ops.paged_attention import paged_decode_attention
+
+        interpret = jax.default_backend() == "cpu"
+
+        def attend(kp, vp, ks, vs, q, lens):
+            return paged_decode_attention(
+                q, kp, vp, lens, page_table, ks, vs,
+                n_heads=model_cfg.n_heads, interpret=interpret,
+            ).astype(q.dtype)
+    else:
+        def attend(kp, vp, ks, vs, q, lens):
+            kctx = gather_context(kp, page_table, P)
+            vctx = gather_context(vp, page_table, P)
+            if ks is not None:
+                kctx = dequantize_rows(kctx, gather_scales(ks, page_table, P))
+                vctx = dequantize_rows(vctx, gather_scales(vs, page_table, P))
+            return masked_attention(q, kctx, vctx, lens, model_cfg.n_heads)
+
+    return attend
+
+
+def _autonomous_burst(
+    model_cfg: ModelConfig,
+    engine_cfg: EngineConfig,
+    attention_impl: str,
+    max_new: int,
+    params,
+    st: AutoState,
+    prompts_all,   # [R_cap, S_pre] i32 (S_pre: static max-prompt bucket)
+    plens_all,     # [R_cap] i32
+    n_real,        # [] i32 — actual request count (R_cap is padding)
+):
+    B = engine_cfg.n_slots
+    W = st.page_table.shape[1]
+    NP = engine_cfg.n_pages
+    P = engine_cfg.page_size
+    S = model_cfg.n_seq
+    R_total = prompts_all.shape[0]
+    S_pre = prompts_all.shape[1]
+
+    # ---- 1. free pages of dead-but-allocated slots (vectorized push) ----
+    to_free = (st.lengths == 0) & st.allocated
+    free_ord = jnp.cumsum(to_free) - 1          # [B] position among freed
+    nf = jnp.sum(to_free)
+    push_pos = (
+        st.free_top
+        + free_ord[:, None] * W
+        + jnp.arange(W, dtype=jnp.int32)[None, :]
+    )  # [B, W]
+    push_pos = jnp.where(to_free[:, None], push_pos, NP)  # drop non-freed
+    page_stack = st.page_stack.at[push_pos.reshape(-1)].set(
+        st.page_table.reshape(-1), mode="drop"
+    )
+    free_top = st.free_top + nf * W
+    allocated = st.allocated & ~to_free
+
+    # ---- 2. admission: pop queue head into dead slots, W pages each ----
+    dead = ~allocated
+    remaining = n_real - st.queue_head
+    m = jnp.minimum(
+        jnp.minimum(jnp.sum(dead), max_new),
+        jnp.minimum(remaining, free_top // W),
+    ).astype(jnp.int32)
+    slot_ids_all = jnp.nonzero(dead, size=B, fill_value=B)[0]
+    admit_mask = jnp.arange(max_new) < m
+    slot_ids = jnp.where(admit_mask, slot_ids_all[:max_new], B)  # B = drop
+    req_ix = st.queue_head + jnp.arange(max_new, dtype=jnp.int32)
+    req_ix_c = jnp.clip(req_ix, 0, R_total - 1)
+    plens = jnp.where(admit_mask, plens_all[req_ix_c], 0)
+    prompts = prompts_all[req_ix_c]  # [max_new, S_pre]
+    # j-th admitted takes stack[free_top - (j+1)W : free_top - jW]
+    offs = (
+        free_top
+        - (jnp.arange(max_new, dtype=jnp.int32)[:, None] + 1) * W
+        + jnp.arange(W, dtype=jnp.int32)[None, :]
+    )
+    granted = page_stack[jnp.clip(offs, 0, NP - 1)]  # [max_new, W]
+    page_table = st.page_table.at[slot_ids].set(granted, mode="drop")
+    free_top = free_top - m * W
+    queue_head = st.queue_head + m
+    lengths = st.lengths.at[slot_ids].set(plens, mode="drop")
+    last_prompt_tok = prompts[
+        jnp.arange(max_new), jnp.clip(plens - 1, 0, S_pre - 1)
+    ]
+    last_tokens = st.last_tokens.at[slot_ids].set(last_prompt_tok, mode="drop")
+    rid = st.rid.at[slot_ids].set(req_ix_c, mode="drop")
+    allocated = allocated | jnp.zeros(B, bool).at[slot_ids].set(True, mode="drop")
+
+    # ---- 3. prefill admitted prompts (skipped when none) ----
+    kv = st.kv
+
+    def do_prefill(kv):
+        positions = jnp.broadcast_to(
+            jnp.arange(S_pre, dtype=jnp.int32)[None, :], (max_new, S_pre)
+        )
+        valid = positions < plens[:, None]
+        rows3 = jnp.broadcast_to(granted[:, None, :], (max_new, S_pre, W))
+        flat_idx = _flat_scatter_indices(rows3, positions, valid, P, NP).reshape(-1)
+        flat_pos = positions.reshape(-1)
+        k_pages, v_pages = list(kv.k_pages), list(kv.v_pages)
+        k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
+
+        def write_kv_block(li, k, v):
+            D = k.shape[-1]
+            k_pages[li], k_scales[li] = _write_tokens(
+                k_pages[li], k_scales[li], flat_idx, k.reshape(-1, D), flat_pos
+            )
+            v_pages[li], v_scales[li] = _write_tokens(
+                v_pages[li], v_scales[li], flat_idx, v.reshape(-1, D), flat_pos
+            )
+
+        prefill_write_kv(params, model_cfg, prompts, plens, write_kv_block)
+        return PagedKVState(
+            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+        )
+
+    kv = jax.lax.cond(m > 0, do_prefill, lambda kv: kv, kv)
+
+    # ---- 4. decode rounds + on-device result accumulation ----
+    attend_impl = _attend_fn(model_cfg, engine_cfg, attention_impl, page_table)
+
+    def round_fn(carry, _):
+        kv, lengths, last, out_tokens, final_lens = carry
+        k_pages, v_pages = list(kv.k_pages), list(kv.v_pages)
+        k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
+        live = lengths > 0
+        pos = jnp.maximum(lengths - 1, 0)
+        flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
+
+        def write_kv(li, pos_, k, v, live_):
+            k_pages[li], k_scales[li] = _write_tokens(
+                k_pages[li], k_scales[li], flat_idx, k, pos
+            )
+            v_pages[li], v_scales[li] = _write_tokens(
+                v_pages[li], v_scales[li], flat_idx, v, pos
+            )
+
+        def attend(li, q, lens):
+            return attend_impl(
+                k_pages[li], v_pages[li], k_scales[li], v_scales[li], q, lens
+            )
+
+        tok, new_lengths = decode_round_tokens(
+            params, model_cfg, lengths, last, write_kv, attend
+        )
+        # emitted token's position in its sequence = old length
+        out_idx = jnp.where(live, rid * S + lengths, R_total * S)
+        out_tokens = (
+            out_tokens.reshape(-1).at[out_idx].set(tok, mode="drop")
+            .reshape(R_total, S)
+        )
+        finished = live & (new_lengths == 0)
+        final_lens = final_lens.at[
+            jnp.where(finished, rid, R_total)
+        ].set(lengths + 1, mode="drop")
+        new_last = jnp.where(live, tok, last)
+        kv = PagedKVState(
+            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+        )
+        return (kv, new_lengths, new_last, out_tokens, final_lens), None
+
+    (kv, lengths, last_tokens, out_tokens, final_lens), _ = jax.lax.scan(
+        round_fn,
+        (kv, lengths, last_tokens, st.out_tokens, st.final_lens),
+        None,
+        length=engine_cfg.n_forward_rounds,
+    )
+
+    new_st = AutoState(
+        kv, page_table, lengths, last_tokens, rid, allocated,
+        queue_head, free_top, page_stack, out_tokens, final_lens,
+    )
+    status = jnp.stack([
+        jnp.sum(lengths > 0).astype(jnp.int32),
+        queue_head,
+        free_top,
+    ])
+    return new_st, status
+
+
+@functools.lru_cache(maxsize=None)
+def make_autonomous_fn(
+    model_cfg: ModelConfig,
+    engine_cfg: EngineConfig,
+    attention_impl: str,
+    max_new: int,
+):
+    return jax.jit(
+        functools.partial(
+            _autonomous_burst, model_cfg, engine_cfg, attention_impl, max_new
+        ),
+        donate_argnums=(1,),
+    )
+
+
+class AutonomousEngine:
+    """Continuous-batching engine with the scheduler on device.
+
+    Same API as PagedEngine.run(item_storage); requires
+    n_pages >= pages needed for the concurrency it should reach (each live
+    slot holds all pages_per_slot pages)."""
+
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig,
+        engine_cfg: EngineConfig,
+        attention_impl: str = "pallas",
+        max_new_per_burst: int = 128,
+        bursts_per_chunk: int = 4,
+        request_capacity: int | None = None,
+    ):
+        model_cfg.validate()
+        engine_cfg.validate(model_cfg)
+        self.params = params
+        self.model_cfg = model_cfg
+        self.engine_cfg = engine_cfg
+        W = engine_cfg.pages_per_slot(model_cfg.n_seq)
+        assert engine_cfg.n_pages >= W, (
+            "autonomous engine grants full pages_per_slot per slot; pool too small"
+        )
+        self.max_new = min(max_new_per_burst, engine_cfg.n_slots)
+        self.chunk = bursts_per_chunk
+        self.request_capacity = request_capacity
+        self._burst = make_autonomous_fn(
+            model_cfg, engine_cfg, attention_impl, self.max_new
+        )
+
+    def run(self, item_storage: ItemStorage) -> None:
+        counter = get_global_throughput_counter()
+        S = self.model_cfg.n_seq
+        requests: List[Request] = item_storage.pop_new_items(1 << 30)
+        n = len(requests)
+        if n == 0:
+            return
+        cap = max(self.request_capacity or 0, n)
+        max_plen = max(len(r.tokens) for r in requests)
+        # static prompt bucket (next power of two) keeps the in-burst
+        # prefill from paying the full n_seq width for short prompts
+        s_pre = min(S, 1 << (max_plen - 1).bit_length())
+        prompts_all = np.zeros((cap, s_pre), dtype=np.int32)
+        plens_all = np.zeros(cap, dtype=np.int32)
+        for i, req in enumerate(requests):
+            assert len(req.tokens) + 1 <= S
+            prompts_all[i, : len(req.tokens)] = req.tokens
+            plens_all[i] = len(req.tokens)
+
+        st = init_auto_state(self.model_cfg, self.engine_cfg, cap)
+        prompts_dev = jnp.asarray(prompts_all)
+        plens_dev = jnp.asarray(plens_all)
+
+        n_real = jnp.asarray(n, jnp.int32)
+        counter.start_record()
+        done = False
+        while not done:
+            for _ in range(self.chunk):
+                st, status = self._burst(
+                    self.params, st, prompts_dev, plens_dev, n_real
+                )
+            live, head, free = (int(x) for x in np.asarray(status))
+            done = live == 0 and head >= n
+            if live == 0 and head < n and free < (
+                self.engine_cfg.pages_per_slot(S)
+            ):
+                raise RuntimeError("autonomous engine stalled: pool exhausted")
+        out_tokens = np.asarray(st.out_tokens)
+        final_lens = np.asarray(st.final_lens)
+        total = 0
+        for i, req in enumerate(requests):
+            fl = int(final_lens[i])
+            assert fl > 0, f"request {i} unfinished"
+            gen = out_tokens[i, plens_all[i] : fl].tolist()
+            req.tokens.extend(gen)
+            total += len(gen)
+            counter.note_first_token(req.id)
+            item_storage.add_finished(req)
+        counter.add_record_if_recording(total)
+        counter.stop_record()

@@ -1,0 +1,99 @@
+"""Device-autonomous engine tests: token-exact parity with the host paged
+engine (greedy determinism — scheduling may differ, outputs must not),
+ramp/turnover admission, pool-limited concurrency, and int8 mode."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from min_llm_inference_tpu import (
+    EngineConfig,
+    ItemStorage,
+    ModelConfig,
+    PagedEngine,
+    Request,
+    get_global_throughput_counter,
+    init_params,
+)
+from min_llm_inference_tpu.runtime.autonomous import AutonomousEngine
+
+MODEL = ModelConfig(n_vocab=256, emb_dim=32, n_seq=64, eof_token_id=255)
+
+
+def make_store(rng, n, eof):
+    get_global_throughput_counter().reset()
+    store = ItemStorage()
+    for i in range(n):
+        ln = int(rng.integers(1, 24))
+        store.add_new_item(Request(i, rng.integers(0, eof, ln).tolist()))
+    return store
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), MODEL, eof_bias=0.05)
+
+
+def test_autonomous_matches_host_engine(params, rng):
+    n = 24
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4, max_prefill_batch=8)
+    store_a = make_store(rng, n, MODEL.eof_token_id)
+    store_b = ItemStorage()
+    for i in range(n):
+        store_b.add_new_item(Request(i, list(store_a._new[i].tokens)))
+
+    PagedEngine(params, MODEL, cfg).run(store_a)
+    get_global_throughput_counter().reset()
+    AutonomousEngine(params, MODEL, cfg, attention_impl="jnp").run(store_b)
+
+    assert len(store_b.finished) == n
+    for i in range(n):
+        assert store_a.finished[i].tokens == store_b.finished[i].tokens, i
+    c = get_global_throughput_counter()
+    gen = sum(len(r.tokens) - r.prompt_len for r in store_b.finished.values())
+    assert c.total_tokens == gen > 0
+
+
+def test_autonomous_turnover_small_max_new(params, rng):
+    # max_new smaller than slot count: admission trickles over bursts
+    n = 20
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=4)
+    store = make_store(rng, n, MODEL.eof_token_id)
+    AutonomousEngine(
+        params, MODEL, cfg, attention_impl="jnp", max_new_per_burst=2,
+        bursts_per_chunk=2,
+    ).run(store)
+    assert len(store.finished) == n
+    for r in store.finished.values():
+        assert r.tokens[-1] == MODEL.eof_token_id or len(r.tokens) == MODEL.n_seq
+
+
+def test_autonomous_pool_limits_concurrency(params, rng):
+    # pool holds pages for only 2 concurrent slots (W=4, 8 pages)
+    n = 9
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8)
+    store = make_store(rng, n, MODEL.eof_token_id)
+    AutonomousEngine(params, MODEL, cfg, attention_impl="jnp").run(store)
+    assert len(store.finished) == n
+
+
+def test_autonomous_int8(params, rng):
+    n = 8
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=32, kv_dtype="int8")
+    store = make_store(rng, n, MODEL.eof_token_id)
+    AutonomousEngine(params, MODEL, cfg, attention_impl="jnp").run(store)
+    assert len(store.finished) == n
+
+
+def test_autonomous_rejects_tiny_pool(params):
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=2)
+    with pytest.raises(AssertionError):
+        AutonomousEngine(params, MODEL, cfg)
+
+
+def test_autonomous_empty_store(params):
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=32)
+    store = ItemStorage()
+    AutonomousEngine(params, MODEL, cfg, attention_impl="jnp").run(store)
+    assert len(store.finished) == 0
