@@ -61,6 +61,10 @@ class _PageBlockCopy:
         for c in self._copies:
             c.start()
 
+    def wait_only(self):
+        for c in self._copies:
+            c.wait()
+
     def wait_and_get(self, scales_ref=None, page_tbl_ref=None, b=None, block_start=None):
         """Returns the block as [bk, D] float32; int8 blocks are
         dequantized with their pages' scalar scales (read from SMEM — no

@@ -1,0 +1,298 @@
+"""Grouped fused paged-attention decode kernel.
+
+Variant of ops/paged_attention.py that processes GROUP_SIZE slots per grid
+step instead of one. Motivation (measured): the one-slot kernel is bounded
+by per-grid-step cost (DMA issue + matvec latency), not bytes — grouping
+cuts step count G-fold and keeps G*ppcb page DMAs in flight per step,
+which both amortizes step overhead and deepens the DMA queue.
+
+Same layout contract as the ungrouped kernel; additionally requires
+n_slots % group_size == 0. Group-level block skipping uses the group's max
+length (slots are admitted roughly in order, so lengths within a group
+correlate); per-slot masking/accumulator predication handles the rest.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .paged_attention import MASK_VALUE, _PageBlockCopy
+
+
+def _group_max_len(lengths_ref, g, group_size):
+    vals = [lengths_ref[g * group_size + j] for j in range(group_size)]
+    return functools.reduce(jnp.maximum, vals)
+
+
+def _grouped_kernel(
+    *refs,
+    batch_size: int,
+    group_size: int,
+    pages_per_compute_block: int,
+    n_heads: int,
+    quantized: bool,
+    mask_value: float = MASK_VALUE,
+):
+    G = group_size
+    ppcb = pages_per_compute_block
+    if quantized:
+        (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
+         k_scales_ref, v_scales_ref,
+         q_ref, k_pages_hbm, v_pages_hbm,
+         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+    else:
+        (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
+         q_ref, k_pages_hbm, v_pages_hbm,
+         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+        k_scales_ref = v_scales_ref = None
+
+    g, i = pl.program_id(0), pl.program_id(1)
+    num_groups = batch_size // G
+    page_size = k_buf.shape[3]
+    bk = ppcb * page_size
+    gmax = _group_max_len(lengths_ref, g, G)
+
+    def make_copies(g_, i_, buf_idx):
+        ks = [
+            _PageBlockCopy(
+                k_pages_hbm, k_buf.at[buf_idx, j], k_sem.at[buf_idx],
+                page_tbl_ref, g_ * G + j, i_ * ppcb, ppcb,
+            )
+            for j in range(G)
+        ]
+        vs = [
+            _PageBlockCopy(
+                v_pages_hbm, v_buf.at[buf_idx, j], v_sem.at[buf_idx],
+                page_tbl_ref, g_ * G + j, i_ * ppcb, ppcb,
+            )
+            for j in range(G)
+        ]
+        return ks, vs
+
+    def next_compute_block(g_, i_):
+        """Next (group, block) that computes, skipping all-dead groups."""
+
+        def advance_g():
+            def body(_, gg):
+                dead = _group_max_len(
+                    lengths_ref, lax.clamp(0, gg, num_groups - 1), G
+                ) == 0
+                return jnp.where((gg < num_groups) & dead, gg + 1, gg)
+
+            next_g = lax.fori_loop(0, num_groups, body, g_ + 1)
+            return next_g, 0
+
+        return lax.cond(
+            i_ * bk < gmax, lambda: (g_, i_), advance_g
+        )
+
+    @pl.when(i == 0)
+    def init():
+        m_scratch[...] = jnp.full_like(m_scratch, -jnp.inf)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    @pl.when(i * bk < gmax)
+    def flash_body():
+        init_flag = init_flag_ref[0]
+        init_flag_ref[0] = 0
+        buffer_index = buffer_index_ref[0]
+        next_g, next_i = next_compute_block(g, i + 1)
+
+        @pl.when(init_flag == 1)
+        def prefetch_first():
+            ks, vs = make_copies(g, i, buffer_index)
+            for c in ks + vs:
+                c.start()
+
+        @pl.when(next_g < num_groups)
+        def prefetch_next():
+            nbi = jnp.where(buffer_index == 0, 1, 0)
+            ks, vs = make_copies(next_g, next_i, nbi)
+            for c in ks + vs:
+                c.start()
+            buffer_index_ref[0] = nbi
+
+        ks, vs = make_copies(g, i, buffer_index)
+        q_all = q_ref[...].astype(jnp.float32)   # [G*H, dh]
+        dh = q_all.shape[-1]
+        H = n_heads
+
+        for j in range(G):
+            b = g * G + j
+            length = lengths_ref[b]
+
+            @pl.when(i * bk < length)
+            def slot_update(j=j, b=b, length=length):
+                k = ks[j].wait_and_get(k_scales_ref, page_tbl_ref, b, i * ppcb)
+                q = q_all[j * H : (j + 1) * H]
+                qk = jnp.concatenate(
+                    [
+                        lax.dot_general(
+                            q[h : h + 1, :], k[:, h * dh : (h + 1) * dh],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for h in range(H)
+                    ],
+                    axis=0,
+                ) * (dh ** -0.5)                 # [H, bk]
+                mask = (
+                    i * bk + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                    < length
+                )
+                qk = qk + jnp.where(mask, 0.0, mask_value)
+
+                sl = pl.ds(j * H, H)
+                m_prev = m_scratch[sl]
+                l_prev = l_scratch[sl]
+                m_curr = jnp.max(qk, axis=-1)
+                s_curr = jnp.exp(qk - m_curr[..., None])
+                l_curr = lax.broadcast_in_dim(
+                    jnp.sum(s_curr, axis=-1), l_prev.shape, (0,)
+                )
+                m_curr = lax.broadcast_in_dim(m_curr, m_prev.shape, (0,))
+                m_next = jnp.maximum(m_prev, m_curr)
+                alpha = jnp.exp(m_prev - m_next)
+                beta = jnp.exp(m_curr - m_next)
+                l_next = alpha * l_prev + beta * l_curr
+                m_scratch[sl] = m_next
+                l_scratch[sl] = l_next
+
+                v = vs[j].wait_and_get(v_scales_ref, page_tbl_ref, b, i * ppcb)
+                o_curr = jnp.concatenate(
+                    [
+                        lax.dot_general(
+                            s_curr[h : h + 1, :], v[:, h * dh : (h + 1) * dh],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        for h in range(H)
+                    ],
+                    axis=0,
+                )
+                o_ref[sl] = (
+                    (l_prev * alpha * o_ref[sl] + beta * o_curr) / l_next
+                ).astype(o_ref.dtype)
+
+            # slots past their length in an active group must still release
+            # the DMAs issued for them (the copies were started for the
+            # whole group) — wait without using the data.
+            @pl.when(jnp.logical_not(i * bk < length))
+            def slot_drain(j=j):
+                ks[j].wait_only()
+                vs[j].wait_only()
+
+
+def _choose_group(b, w, page_size, d, kv_bytes):
+    """Pick (group_size, ppcb): fill ~8MB of double-buffered KV VMEM."""
+    budget = 8 * 1024 * 1024
+    best = (1, 1)
+    for g in (16, 8, 4, 2, 1):
+        if b % g:
+            continue
+        for c in range(w, 0, -1):
+            if w % c:
+                continue
+            if 4 * g * c * page_size * d * kv_bytes <= budget:
+                if g * c > best[0] * best[1]:
+                    best = (g, c)
+                break
+    return best
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_heads", "group_size", "pages_per_compute_block", "interpret"),
+)
+def paged_decode_attention_grouped(
+    q,            # [B, D]
+    k_pages,      # [NP, P, D]
+    v_pages,
+    lengths,      # [B] int32
+    page_table,   # [B, W] int32
+    k_scales=None,
+    v_scales=None,
+    *,
+    n_heads: int = 1,
+    group_size: int | None = None,
+    pages_per_compute_block: int | None = None,
+    interpret: bool = False,
+):
+    B, D = q.shape
+    NP, P, Dk = k_pages.shape
+    assert Dk == D and v_pages.shape == k_pages.shape
+    W = page_table.shape[1]
+    dh = D // n_heads
+    auto_g, auto_c = _choose_group(B, W, P, D, k_pages.dtype.itemsize)
+    G = group_size or auto_g
+    ppcb = pages_per_compute_block or (auto_c if group_size is None else
+                                       _best_ppcb(W, G, P, D, k_pages.dtype.itemsize))
+    assert B % G == 0 and W % ppcb == 0
+    quantized = k_scales is not None
+
+    q3 = q.reshape(B * n_heads, dh)
+    block_spec = pl.BlockSpec(
+        (G * n_heads, dh), lambda g, i, *_: (g, 0)
+    )
+
+    scalar_args = [
+        lengths, page_table,
+        jnp.zeros((1,), jnp.int32), jnp.ones((1,), jnp.int32),
+    ]
+    if quantized:
+        scalar_args += [k_scales, v_scales]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _grouped_kernel,
+            batch_size=B,
+            group_size=G,
+            pages_per_compute_block=ppcb,
+            n_heads=n_heads,
+            quantized=quantized,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(scalar_args),
+            in_specs=[
+                block_spec,
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=block_spec,
+            grid=(B // G, W // ppcb),
+            scratch_shapes=[
+                pltpu.VMEM((G * n_heads, dh), jnp.float32),  # m
+                pltpu.VMEM((G * n_heads, dh), jnp.float32),  # l
+                pltpu.VMEM((2, G, ppcb, P, D), k_pages.dtype),
+                pltpu.VMEM((2, G, ppcb, P, D), v_pages.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * n_heads, dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(
+        *scalar_args,
+        q3,
+        k_pages,
+        v_pages,
+    )
+    return out.reshape(B, D)
+
+
+def _best_ppcb(w, g, page_size, d, kv_bytes):
+    budget = 8 * 1024 * 1024
+    for c in range(w, 0, -1):
+        if w % c == 0 and 4 * g * c * page_size * d * kv_bytes <= budget:
+            return c
+    return 1
