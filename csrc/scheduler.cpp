@@ -50,6 +50,13 @@ struct Scheduler {
   // config
   int32_t n_slots, n_seq, n_pages, pages_per_slot, page_size, init_pages,
       n_rounds, eof_id;
+  // page-growth/admission horizon in tokens (pipelined engines use
+  // 2*n_rounds; sequential uses n_rounds)
+  int32_t lookahead;
+  // slots admitted by the previous insert call: their EMPTY rows in the
+  // next processed burst are expected (the burst was dispatched before
+  // they were admitted)
+  std::unordered_set<int32_t> last_admitted;
 
   // request state
   std::deque<Request> new_items;
@@ -96,6 +103,7 @@ void* mls_create(int32_t n_slots, int32_t n_seq, int32_t n_pages,
   s->init_pages = init_pages;
   s->n_rounds = n_rounds;
   s->eof_id = eof_id;
+  s->lookahead = 2 * n_rounds;  // pipelined default; see mls_set_lookahead
   s->free_pages.resize(n_pages);
   for (int32_t i = 0; i < n_pages; ++i) s->free_pages[i] = i;
   s->table.assign(static_cast<size_t>(n_slots) * pages_per_slot, 0);
@@ -103,6 +111,17 @@ void* mls_create(int32_t n_slots, int32_t n_seq, int32_t n_pages,
 }
 
 void mls_destroy(void* h) { delete static_cast<Scheduler*>(h); }
+
+void mls_set_lookahead(void* h, int32_t lookahead) {
+  static_cast<Scheduler*>(h)->lookahead = lookahead;
+}
+
+// The initial admission wave IS included in the first dispatched burst
+// (prefill + packed updates precede dispatch 0), so it must not be
+// skipped when that burst's results are processed.
+void mls_clear_last_admitted(void* h) {
+  static_cast<Scheduler*>(h)->last_admitted.clear();
+}
 
 void mls_add_request(void* h, int64_t id, const int32_t* tokens, int32_t n) {
   auto* s = static_cast<Scheduler*>(h);
@@ -136,15 +155,19 @@ int32_t mls_process_results(void* h, const int32_t* results, int32_t n_rounds,
   auto* s = static_cast<Scheduler*>(h);
   int32_t n_finished = 0;
   for (int32_t slot = 0; slot < s->n_slots; ++slot) {
+    // pipelined semantics: skip slots admitted after the burst was
+    // dispatched, and slots preempted while it was in flight (their tokens
+    // are dropped; greedy determinism regenerates them on re-admission)
+    if (s->last_admitted.count(slot)) continue;
+    auto pit = s->processing.find(slot);
+    if (pit == s->processing.end()) continue;
     bool empty = false, fin = false;
     for (int32_t j = 0; j < n_rounds; ++j) {
       int32_t tok = results[slot * n_rounds + j];
       if (tok == kEmptyRowTokenId) {
         empty = true;
       } else {
-        auto it = s->processing.find(slot);
-        assert(it != s->processing.end());
-        Request& req = it->second;
+        Request& req = pit->second;
         req.tokens.push_back(tok);
         s->total_generated += 1;
         if (static_cast<int32_t>(req.tokens.size()) >= s->n_seq ||
@@ -167,6 +190,7 @@ int32_t mls_process_results(void* h, const int32_t* results, int32_t n_rounds,
     lengths[slot] = static_cast<int32_t>(req.tokens.size());
     last_tokens[slot] = req.tokens.back();
   }
+  s->last_admitted.clear();
   return n_finished;
 }
 
@@ -198,13 +222,13 @@ int32_t mls_alloc_or_free(void* h, const int32_t* finished,
     int32_t n_owned = static_cast<int32_t>(it->pages.size());
     if (n_owned >= s->pages_per_slot) {
       ++it;  // capped at table row width (slot terminates at the cap)
-    } else if (n_tokens + s->n_rounds > n_owned * s->page_size) {
+    } else if (n_tokens + s->lookahead > n_owned * s->page_size) {
       if (s->free_count() > 0) {
         int32_t page = s->pop_pages(1)[0];
         it->pages.push_back(page);
         table[slot * s->pages_per_slot + n_owned] = page;
         s->table_dirty = true;
-        ++it;
+        // re-check the same slot: a multi-burst horizon may need more
       } else if (std::next(it) == s->used.end()) {
         // pool dry; this slot IS the tail: preempt itself
         s->new_items.push_front(std::move(pit->second));
@@ -247,7 +271,7 @@ int32_t mls_insert_new(void* h, int32_t* prompts, int32_t* lengths,
         s->free_count() >= std::min(s->init_pages, s->pages_per_slot)) {
       int32_t head_len =
           static_cast<int32_t>(s->new_items.front().tokens.size());
-      int32_t need = std::min(ceil_div(head_len + s->n_rounds, s->page_size),
+      int32_t need = std::min(ceil_div(head_len + s->lookahead, s->page_size),
                               s->pages_per_slot);
       admit = s->free_count() >= need;
     }
@@ -261,7 +285,7 @@ int32_t mls_insert_new(void* h, int32_t* prompts, int32_t* lengths,
                   req.tokens.data(), sizeof(int32_t) * len);
       last_tokens[slot] = req.tokens.back();
       int32_t n_pages = std::min(
-          std::max(ceil_div(len + s->n_rounds, s->page_size), s->init_pages),
+          std::max(ceil_div(len + s->lookahead, s->page_size), s->init_pages),
           s->pages_per_slot);
       std::vector<int32_t> pages = s->pop_pages(n_pages);
       for (int32_t j = 0; j < n_pages; ++j)
@@ -269,6 +293,7 @@ int32_t mls_insert_new(void* h, int32_t* prompts, int32_t* lengths,
       s->used.push_back(SlotPages{slot, std::move(pages)});
       s->processing.emplace(slot, std::move(req));
       s->table_dirty = true;
+      s->last_admitted.insert(slot);
       new_slots_out[n_new++] = slot;
     } else {
       lengths[slot] = 0;

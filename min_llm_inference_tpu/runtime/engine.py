@@ -34,6 +34,7 @@ from ..models.dense import init_dense_state, make_dense_fns
 from ..models.paged import init_paged_state, make_paged_fns
 from .item_storage import (
     ItemStorage,
+    Request,
     ProcessingStorage,
     insert_new_items_dense,
     is_done,
@@ -302,3 +303,117 @@ class PagedEngine(_EngineBase):
                 continue
             pending = results_dev
         counter.stop_record()
+
+
+class NativePagedEngine(_EngineBase):
+    """PagedEngine with the host scheduler in native C++
+    (csrc/scheduler.cpp via runtime/native.py) — the TPU-native analogue of
+    the reference's C++ host layer. Same two-deep pipelined loop and packed
+    scheduler operand as PagedEngine; all queue/page/result bookkeeping
+    runs natively and writes the staging arrays in place. Differentially
+    tested against the Python scheduler (tests/test_native_scheduler.py).
+    """
+
+    def __init__(
+        self,
+        params,
+        model_cfg: ModelConfig,
+        engine_cfg: EngineConfig,
+        attention_impl: str = "jnp",
+    ):
+        from .native import NativeScheduler
+
+        super().__init__(params, model_cfg, engine_cfg)
+        self.state = init_paged_state(model_cfg, engine_cfg)
+        self._prefill, self._decode = make_paged_fns(
+            model_cfg, engine_cfg, attention_impl
+        )
+        W = engine_cfg.pages_per_slot(model_cfg.n_seq)
+        self.W = W
+        self.table = np.zeros((engine_cfg.n_slots, W), dtype=np.int32)
+        self._packed = np.zeros((engine_cfg.n_slots, 2 + W), dtype=np.int32)
+        self.sched = NativeScheduler(
+            engine_cfg.n_slots, model_cfg.n_seq, engine_cfg.n_pages,
+            W, engine_cfg.page_size, engine_cfg.init_num_pages,
+            engine_cfg.n_forward_rounds, model_cfg.eof_token_id,
+            lookahead=2 * engine_cfg.n_forward_rounds,
+        )
+
+    def _prefill_slot_arg(self, chunk: List[int], M: int) -> np.ndarray:
+        rows = np.zeros((M, self.W), dtype=np.int32)
+        for j, slot in enumerate(chunk):
+            rows[j] = self.table[slot]
+        return rows
+
+    def _pack(self, new_slots, preempted):
+        self._packed[:, 0] = -1
+        for slot in preempted:
+            self._packed[slot, 0] = 0
+        for slot in new_slots:
+            self._packed[slot, 0] = self.lengths[slot]
+            self._packed[slot, 1] = self.last_tokens[slot]
+        self._packed[:, 2:] = self.table
+
+    def run(self, item_storage: ItemStorage) -> None:
+        counter = get_global_throughput_counter()
+        sched = self.sched
+        # hand the queue to the native scheduler
+        for req in item_storage.pop_new_items(1 << 30):
+            counter.note_submit(req.id)
+            sched.add_request(req.id, req.tokens)
+
+        B = self.engine_cfg.n_slots
+        new_slots = sched.insert_new(
+            self.prompts, self.lengths, self.last_tokens, self.table
+        )
+        self._pack(new_slots, [])
+        if new_slots:
+            self._run_prefill(new_slots)
+        # the initial wave is part of burst 0 — nothing to skip when its
+        # results arrive
+        sched.clear_last_admitted()
+        lengths_dev = jnp.zeros(B, jnp.int32)
+        last_dev = jnp.zeros(B, jnp.int32)
+
+        counter.start_record()
+        pending = None
+        prev_total = 0
+        while True:
+            dispatched = False
+            if sched.processing_count() > 0:
+                self.state, lengths_dev, last_dev, results_dev = self._decode(
+                    self.params, self.state, jnp.asarray(self._packed),
+                    lengths_dev, last_dev,
+                )
+                dispatched = True
+                self._packed[:, 0] = -1
+            if pending is not None:
+                results = np.asarray(pending)
+                finished = sched.process_results(
+                    results, self.lengths, self.last_tokens
+                )
+                total = sched.total_generated()
+                counter.add_record_if_recording(total - prev_total)
+                prev_total = total
+                preempted = sched.alloc_or_free(
+                    finished, self.table, self.lengths
+                )
+                new_slots = sched.insert_new(
+                    self.prompts, self.lengths, self.last_tokens, self.table
+                )
+                self._pack(new_slots, preempted)
+                if new_slots:
+                    self._run_prefill(new_slots)
+            if not dispatched:
+                if sched.is_done():
+                    break
+                pending = None
+                continue
+            pending = results_dev
+        counter.stop_record()
+        # surface finished requests back into the item storage
+        for rid, tokens, prompt_len in sched.finished_requests():
+            counter.note_first_token(rid)
+            item_storage.add_finished(
+                Request(rid, tokens, prompt_len=prompt_len)
+            )

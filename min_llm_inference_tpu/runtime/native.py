@@ -33,6 +33,8 @@ def _load_lib() -> ctypes.CDLL:
     lib.mls_create.restype = ctypes.c_void_p
     lib.mls_create.argtypes = [ctypes.c_int32] * 8
     lib.mls_destroy.argtypes = [ctypes.c_void_p]
+    lib.mls_set_lookahead.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.mls_clear_last_admitted.argtypes = [ctypes.c_void_p]
     lib.mls_add_request.argtypes = [ctypes.c_void_p, ctypes.c_int64, _i32p, ctypes.c_int32]
     for name in ("mls_new_count", "mls_processing_count", "mls_is_done",
                  "mls_table_dirty_clear", "mls_free_page_count",
@@ -76,12 +78,14 @@ class NativeScheduler:
 
     def __init__(self, n_slots: int, n_seq: int, n_pages: int,
                  pages_per_slot: int, page_size: int, init_pages: int,
-                 n_rounds: int, eof_id: int):
+                 n_rounds: int, eof_id: int, lookahead: Optional[int] = None):
         self._lib = _load_lib()
         self._h = ctypes.c_void_p(
             self._lib.mls_create(n_slots, n_seq, n_pages, pages_per_slot,
                                  page_size, init_pages, n_rounds, eof_id)
         )
+        if lookahead is not None:
+            self._lib.mls_set_lookahead(self._h, lookahead)
         self.n_slots = n_slots
         self._scratch_slots = np.zeros(n_slots, dtype=np.int32)
         self._scratch_preempt = np.zeros(n_slots, dtype=np.int32)
@@ -130,6 +134,9 @@ class NativeScheduler:
 
     def free_page_count(self) -> int:
         return self._lib.mls_free_page_count(self._h)
+
+    def clear_last_admitted(self) -> None:
+        self._lib.mls_clear_last_admitted(self._h)
 
     def table_dirty_clear(self) -> bool:
         return bool(self._lib.mls_table_dirty_clear(self._h))
