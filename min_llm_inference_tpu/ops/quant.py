@@ -89,14 +89,31 @@ def dequantize_weight(q, scales, dtype=jnp.bfloat16):
     return (q.astype(jnp.float32) * scales[None, :].astype(jnp.float32)).astype(dtype)
 
 
-def quantize_params(params, dtype=jnp.bfloat16):
-    """Convert every 2D weight in a params pytree to weight-only int8
-    (stored as {"q": int8, "scale": f32} leaves); embeddings included —
-    the tied LM head reads wte through the same dequant."""
+FP8_MAX = 448.0  # float8_e4m3fn
+
+
+def quantize_weight_fp8(w):
+    """Weight-only FP8 (e4m3) with per-output-column scales normalizing
+    the column absmax to the fp8 range."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=0)
+    scale = absmax / FP8_MAX
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = (wf * inv[None, :]).astype(jnp.float8_e4m3fn)
+    return q, scale
+
+
+def quantize_params(params, mode: str = "int8"):
+    """Convert every 2D weight in a params pytree to weight-only int8/fp8
+    (stored as {"q": int8|fp8, "scale": f32} leaves); embeddings included —
+    the tied LM head reads wte through the same dequant (north-star
+    configs 4/5: INT8 / FP8 weight-only)."""
+    assert mode in ("int8", "fp8")
+    fn = quantize_weight if mode == "int8" else quantize_weight_fp8
 
     def conv(x):
         if isinstance(x, jax.Array) and x.ndim == 2:
-            q, s = quantize_weight(x)
+            q, s = fn(x)
             return {"q": q, "scale": s}
         return x
 
@@ -105,8 +122,21 @@ def quantize_params(params, dtype=jnp.bfloat16):
     )
 
 
+def is_quantized_leaf(w) -> bool:
+    return isinstance(w, dict) and "q" in w
+
+
 def maybe_dequant(w, dtype):
-    """Read a possibly weight-quantized leaf as a dense matrix."""
-    if isinstance(w, dict) and "q" in w:
+    """Read a possibly weight-quantized leaf as a dense matrix (XLA fuses
+    the convert+scale into the consuming matmul's operand read)."""
+    if is_quantized_leaf(w):
         return dequantize_weight(w["q"], w["scale"], dtype)
     return w
+
+
+def gather_rows(w, idx, dtype):
+    """Row-gather from a possibly weight-quantized embedding table."""
+    if is_quantized_leaf(w):
+        rows = w["q"][idx].astype(jnp.float32) * w["scale"][None, :]
+        return rows.astype(dtype)
+    return w[idx]

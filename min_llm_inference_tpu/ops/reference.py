@@ -41,11 +41,18 @@ def token_pos_embed(tokens, positions, wte, wpe):
 
     tokens: int32 [...]; positions: int32 broadcastable to tokens.
     Sentinel/padding token ids (< 0) are clipped for the gather — callers
-    mask the result by length.
+    mask the result by length. Tables may be weight-quantized leaves.
     """
-    safe_tokens = jnp.clip(tokens, 0, wte.shape[0] - 1)
-    safe_pos = jnp.clip(positions, 0, wpe.shape[0] - 1)
-    return wte[safe_tokens] + wpe[safe_pos]
+    from .quant import is_quantized_leaf, gather_rows
+
+    n_vocab = (wte["q"] if is_quantized_leaf(wte) else wte).shape[0]
+    n_pos = (wpe["q"] if is_quantized_leaf(wpe) else wpe).shape[0]
+    safe_tokens = jnp.clip(tokens, 0, n_vocab - 1)
+    safe_pos = jnp.clip(positions, 0, n_pos - 1)
+    dtype = (wte["q"] if is_quantized_leaf(wte) else wte).dtype
+    if is_quantized_leaf(wte):
+        dtype = jnp.bfloat16
+    return gather_rows(wte, safe_tokens, dtype) + gather_rows(wpe, safe_pos, dtype)
 
 
 def project_qkv(emb, wq, wk, wv):
@@ -97,7 +104,10 @@ def masked_attention(q, k_ctx, v_ctx, lengths, n_heads: int = 1):
 
 def tied_logits(x, wte):
     """Weight-tied LM head: logits = x @ wte^T (reference decoder.cu:105-106
-    — no separate LM head)."""
+    — no separate LM head). wte may be a weight-quantized leaf."""
+    from .quant import maybe_dequant
+
+    wte = maybe_dequant(wte, jnp.float32)
     return jnp.dot(
         x.astype(jnp.float32),
         wte.astype(jnp.float32).T,
@@ -128,7 +138,10 @@ def feed_forward(x, w, b=None, activation=None):
     """Generic dense layer: x @ W (+ b) (+ act). Reference FeedForward
     (src/layers.cpp:10-52) wraps a bias GEMM; defined-and-tested there but
     unused by the models — here it is the FFN building block of the
-    multi-layer stack."""
+    multi-layer stack. W may be a weight-quantized leaf."""
+    from .quant import maybe_dequant
+
+    w = maybe_dequant(w, x.dtype)
     y = jnp.dot(
         x, w.astype(x.dtype), preferred_element_type=jnp.float32
     ).astype(x.dtype)
