@@ -21,6 +21,10 @@ import jax
 # at interpreter start, which overrides the env var — override it back before
 # any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
+# 8 virtual devices on a small host: async CPU dispatch has intermittently
+# livelocked inside device_put (100% CPU spin); synchronous dispatch is
+# reliable and barely slower at test sizes.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 import numpy as np
 import pytest
