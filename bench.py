@@ -101,13 +101,23 @@ def main():
     ap.add_argument("--max-prefill-batch", type=int, default=128)
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--engine", default="auto", choices=["host", "auto"])
+    ap.add_argument("--model", default="ref", choices=["ref", "gpt2s"],
+                    help="ref = reference-parity single attention block; "
+                         "gpt2s = 12-layer GPT-2-small-class stack")
     ap.add_argument("--bursts-per-chunk", type=int, default=16)
     args = ap.parse_args()
 
-    model_cfg = ModelConfig(
-        n_vocab=args.vocab, emb_dim=args.emb, n_seq=args.seq,
-        eof_token_id=args.vocab - 1, dtype=args.dtype,
-    )
+    if args.model == "gpt2s":
+        model_cfg = ModelConfig(
+            n_vocab=args.vocab, emb_dim=768, n_seq=args.seq, n_layers=12,
+            n_heads=12, ffn_dim=3072, use_output_proj=True,
+            use_layernorm=True, eof_token_id=args.vocab - 1, dtype=args.dtype,
+        )
+    else:
+        model_cfg = ModelConfig(
+            n_vocab=args.vocab, emb_dim=args.emb, n_seq=args.seq,
+            eof_token_id=args.vocab - 1, dtype=args.dtype,
+        )
     engine_cfg = EngineConfig(
         n_slots=args.slots, n_pages=args.pages,
         n_forward_rounds=args.rounds,
@@ -116,7 +126,12 @@ def main():
         max_prefill_batch=args.max_prefill_batch,
     )
     rng = np.random.default_rng(0)
-    params = bench_params(rng, model_cfg)
+    if args.model == "gpt2s":
+        import jax as _jax
+        from min_llm_inference_tpu import init_params
+        params = init_params(_jax.random.PRNGKey(0), model_cfg)
+    else:
+        params = bench_params(rng, model_cfg)
 
     if not args.no_warmup:
         # Warm run: compiles every jit (prefill bucket, decode) on a small
@@ -155,7 +170,7 @@ def main():
             "emb": args.emb, "vocab": args.vocab, "requests": args.requests,
             "dtype": args.dtype, "kv_dtype": args.kv_dtype or args.dtype,
             "attention": args.attention, "rounds": args.rounds,
-            "engine": args.engine,
+            "engine": args.engine, "model": args.model,
             "device": str(jax.devices()[0]),
         },
     }

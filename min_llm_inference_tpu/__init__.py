@@ -18,7 +18,8 @@ from .constants import (
 )
 from .metrics import ThroughputCounter, get_global_throughput_counter
 from .models.params import init_params
-from .runtime.engine import DenseEngine, PagedEngine
+from .runtime.autonomous import AutonomousEngine
+from .runtime.engine import DenseEngine, NativePagedEngine, PagedEngine
 from .runtime.item_storage import ItemStorage, ProcessingStorage, Request
 
 __version__ = "0.1.0"
@@ -33,7 +34,9 @@ __all__ = [
     "ThroughputCounter",
     "get_global_throughput_counter",
     "init_params",
+    "AutonomousEngine",
     "DenseEngine",
+    "NativePagedEngine",
     "PagedEngine",
     "ItemStorage",
     "ProcessingStorage",

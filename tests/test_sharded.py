@@ -134,3 +134,34 @@ def test_sharded_kv_pages_match_unsharded():
                 np.testing.assert_allclose(
                     got[gp, pos % P], want[gp, pos % P], rtol=2e-5, atol=2e-5
                 )
+
+
+def test_sharded_engine_end_to_end_matches_single_chip(rng):
+    """Full continuous-batching run over the dp x tp mesh: finished
+    sequences must be token-identical to the single-chip PagedEngine."""
+    from min_llm_inference_tpu import (
+        ItemStorage, PagedEngine, Request, get_global_throughput_counter,
+    )
+    from min_llm_inference_tpu.parallel.engine import ShardedPagedEngine
+
+    if len(jax.devices()) < 8:
+        pytest.skip("not enough devices")
+    n = 24
+    store_a = ItemStorage()
+    store_b = ItemStorage()
+    for i in range(n):
+        toks = rng.integers(0, MODEL.eof_token_id, int(rng.integers(1, 20))).tolist()
+        store_a.add_new_item(Request(i, list(toks)))
+        store_b.add_new_item(Request(i, list(toks)))
+
+    params = init_params(jax.random.PRNGKey(7), MODEL)
+    get_global_throughput_counter().reset()
+    PagedEngine(params, MODEL, ENGINE).run(store_a)
+    get_global_throughput_counter().reset()
+    eng = ShardedPagedEngine(params, MODEL, ENGINE, n_devices=8, tp=4)
+    eng.run(store_b)
+    assert len(store_b.finished) == n
+    for i in range(n):
+        assert store_a.finished[i].tokens == store_b.finished[i].tokens, i
+    c = get_global_throughput_counter()
+    assert c.total_tokens > 0
