@@ -1,15 +1,20 @@
-"""Grouped fused paged-attention decode kernel.
+"""Grouped fused paged-attention decode kernel (batched-VPU variant).
 
 Variant of ops/paged_attention.py that processes GROUP_SIZE slots per grid
-step instead of one. Motivation (measured): the one-slot kernel is bounded
-by per-grid-step cost (DMA issue + matvec latency), not bytes — grouping
-cuts step count G-fold and keeps G*ppcb page DMAs in flight per step,
-which both amortizes step overhead and deepens the DMA queue.
+step. Motivation (measured): the one-slot kernel's marginal cost is
+~2us/slot dominated by VPU chains on single-row tensors (softmax stats on
+[1, bk] uses 1 of 8 sublanes). Here the per-slot work is only the QK^T /
+PV dots (different K/V blocks per slot); ALL elementwise work — masking,
+online-softmax statistics, accumulator updates — runs batched on
+[G*H, bk] / [G*H, dh] tiles at full VPU width.
 
-Same layout contract as the ungrouped kernel; additionally requires
-n_slots % group_size == 0. Group-level block skipping uses the group's max
-length (slots are admitted roughly in order, so lengths within a group
-correlate); per-slot masking/accumulator predication handles the rest.
+Inactive rows (dead slots, or slots whose length ends before this block)
+are handled by zeroing their score rows: their l stays 0 and the guarded
+division leaves their output at the init value (exact zeros).
+
+Same layout contract as the ungrouped kernel; requires
+n_slots % group_size == 0. Lengths ride twice: scalar prefetch (control
+flow, group-skip walk) and as a [B, 1] VMEM column (vector masks).
 """
 
 from __future__ import annotations
@@ -44,11 +49,11 @@ def _grouped_kernel(
     if quantized:
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
          k_scales_ref, v_scales_ref,
-         q_ref, k_pages_hbm, v_pages_hbm,
+         q_ref, len_col_ref, k_pages_hbm, v_pages_hbm,
          o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
     else:
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
-         q_ref, k_pages_hbm, v_pages_hbm,
+         q_ref, len_col_ref, k_pages_hbm, v_pages_hbm,
          o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
         k_scales_ref = v_scales_ref = None
 
@@ -56,6 +61,7 @@ def _grouped_kernel(
     num_groups = batch_size // G
     page_size = k_buf.shape[3]
     bk = ppcb * page_size
+    H = n_heads
     gmax = _group_max_len(lengths_ref, g, G)
 
     def make_copies(g_, i_, buf_idx):
@@ -76,8 +82,6 @@ def _grouped_kernel(
         return ks, vs
 
     def next_compute_block(g_, i_):
-        """Next (group, block) that computes, skipping all-dead groups."""
-
         def advance_g():
             def body(_, gg):
                 dead = _group_max_len(
@@ -88,9 +92,7 @@ def _grouped_kernel(
             next_g = lax.fori_loop(0, num_groups, body, g_ + 1)
             return next_g, 0
 
-        return lax.cond(
-            i_ * bk < gmax, lambda: (g_, i_), advance_g
-        )
+        return lax.cond(i_ * bk < gmax, lambda: (g_, i_), advance_g)
 
     @pl.when(i == 0)
     def init():
@@ -122,72 +124,82 @@ def _grouped_kernel(
         ks, vs = make_copies(g, i, buffer_index)
         q_all = q_ref[...].astype(jnp.float32)   # [G*H, dh]
         dh = q_all.shape[-1]
-        H = n_heads
 
-        for j in range(G):
-            b = g * G + j
-            length = lengths_ref[b]
-
-            @pl.when(i * bk < length)
-            def slot_update(j=j, b=b, length=length):
-                k = ks[j].wait_and_get(k_scales_ref, page_tbl_ref, b, i * ppcb)
-                q = q_all[j * H : (j + 1) * H]
-                qk = jnp.concatenate(
-                    [
-                        lax.dot_general(
-                            q[h : h + 1, :], k[:, h * dh : (h + 1) * dh],
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        for h in range(H)
-                    ],
-                    axis=0,
-                ) * (dh ** -0.5)                 # [H, bk]
-                mask = (
-                    i * bk + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-                    < length
+        # per-slot QK^T dots (different K per slot), then batch everything
+        k_blocks = [
+            ks[j].wait_and_get(k_scales_ref, page_tbl_ref, g * G + j, i * ppcb)
+            for j in range(G)
+        ]
+        qk = jnp.concatenate(
+            [
+                lax.dot_general(
+                    q_all[j * H + h : j * H + h + 1],
+                    k_blocks[j][:, h * dh : (h + 1) * dh],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                qk = qk + jnp.where(mask, 0.0, mask_value)
+                for j in range(G)
+                for h in range(H)
+            ],
+            axis=0,
+        ) * (dh ** -0.5)                          # [G*H, bk]
 
-                sl = pl.ds(j * H, H)
-                m_prev = m_scratch[sl]
-                l_prev = l_scratch[sl]
-                m_curr = jnp.max(qk, axis=-1)
-                s_curr = jnp.exp(qk - m_curr[..., None])
-                l_curr = lax.broadcast_in_dim(
-                    jnp.sum(s_curr, axis=-1), l_prev.shape, (0,)
+        # batched masking: row r belongs to slot r // H; lengths as a VMEM
+        # column, expanded H-fold to match the j-major/h-minor row order
+        len_col = len_col_ref[...].astype(jnp.int32)      # [G, 1]
+        if H == 1:
+            row_len = len_col
+        else:
+            # [G,1] -> [G,H] (broadcast along minor) -> [G*H, 1]
+            row_len = lax.broadcast_in_dim(
+                len_col[:, 0], (G, H), (0,)
+            ).reshape(G * H, 1)
+        col = i * bk + lax.broadcasted_iota(jnp.int32, (G * H, bk), 1)
+        mask = col < row_len
+        qk = qk + jnp.where(mask, 0.0, mask_value)
+        active = (i * bk < row_len).astype(jnp.float32)  # [G*H, 1]
+
+        m_prev = m_scratch[...]
+        l_prev = l_scratch[...]
+        m_curr_col = jnp.max(qk, axis=-1, keepdims=True)      # [G*H, 1]
+        s_curr = jnp.exp(qk - m_curr_col) * active            # [G*H, bk]
+        l_curr = lax.broadcast_in_dim(
+            jnp.sum(s_curr, axis=-1), l_prev.shape, (0,)
+        )
+        m_curr = lax.broadcast_in_dim(
+            jnp.where(active > 0, m_curr_col, -jnp.inf)[:, 0],
+            m_prev.shape, (0,),
+        )
+        m_next = jnp.maximum(m_prev, m_curr)
+        alpha = jnp.where(jnp.isinf(m_prev) & (m_prev < 0), 0.0,
+                          jnp.exp(m_prev - m_next))
+        beta = jnp.where(jnp.isinf(m_curr) & (m_curr < 0), 0.0,
+                         jnp.exp(m_curr - m_next))
+        l_next = alpha * l_prev + beta * l_curr
+        m_scratch[...] = m_next
+        l_scratch[...] = l_next
+        l_safe = jnp.maximum(l_next, jnp.finfo(jnp.float32).tiny)
+
+        v_blocks = [
+            vs[j].wait_and_get(v_scales_ref, page_tbl_ref, g * G + j, i * ppcb)
+            for j in range(G)
+        ]
+        o_curr = jnp.concatenate(
+            [
+                lax.dot_general(
+                    s_curr[(j * H + h) : (j * H + h + 1), :],
+                    v_blocks[j][:, h * dh : (h + 1) * dh],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
-                m_curr = lax.broadcast_in_dim(m_curr, m_prev.shape, (0,))
-                m_next = jnp.maximum(m_prev, m_curr)
-                alpha = jnp.exp(m_prev - m_next)
-                beta = jnp.exp(m_curr - m_next)
-                l_next = alpha * l_prev + beta * l_curr
-                m_scratch[sl] = m_next
-                l_scratch[sl] = l_next
-
-                v = vs[j].wait_and_get(v_scales_ref, page_tbl_ref, b, i * ppcb)
-                o_curr = jnp.concatenate(
-                    [
-                        lax.dot_general(
-                            s_curr[h : h + 1, :], v[:, h * dh : (h + 1) * dh],
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                        for h in range(H)
-                    ],
-                    axis=0,
-                )
-                o_ref[sl] = (
-                    (l_prev * alpha * o_ref[sl] + beta * o_curr) / l_next
-                ).astype(o_ref.dtype)
-
-            # slots past their length in an active group must still release
-            # the DMAs issued for them (the copies were started for the
-            # whole group) — wait without using the data.
-            @pl.when(jnp.logical_not(i * bk < length))
-            def slot_drain(j=j):
-                ks[j].wait_only()
-                vs[j].wait_only()
+                for j in range(G)
+                for h in range(H)
+            ],
+            axis=0,
+        )                                          # [G*H, dh]
+        o_ref[...] = (
+            (l_prev * alpha * o_ref[...] + beta * o_curr) / l_safe
+        ).astype(o_ref.dtype)
 
 
 def _choose_group(b, w, page_size, d, kv_bytes):
@@ -205,6 +217,14 @@ def _choose_group(b, w, page_size, d, kv_bytes):
                     best = (g, c)
                 break
     return best
+
+
+def _best_ppcb(w, g, page_size, d, kv_bytes):
+    budget = 8 * 1024 * 1024
+    for c in range(w, 0, -1):
+        if w % c == 0 and 4 * g * c * page_size * d * kv_bytes <= budget:
+            return c
+    return 1
 
 
 @functools.partial(
@@ -235,12 +255,12 @@ def paged_decode_attention_grouped(
     ppcb = pages_per_compute_block or (auto_c if group_size is None else
                                        _best_ppcb(W, G, P, D, k_pages.dtype.itemsize))
     assert B % G == 0 and W % ppcb == 0
+    assert G * n_heads >= 8, "need >=8 rows per block for TPU sublane tiling"
     quantized = k_scales is not None
 
     q3 = q.reshape(B * n_heads, dh)
-    block_spec = pl.BlockSpec(
-        (G * n_heads, dh), lambda g, i, *_: (g, 0)
-    )
+    block_spec = pl.BlockSpec((G * n_heads, dh), lambda g, i, *_: (g, 0))
+    len_col_spec = pl.BlockSpec((G, 1), lambda g, i, *_: (g, 0))
 
     scalar_args = [
         lengths, page_table,
@@ -262,6 +282,7 @@ def paged_decode_attention_grouped(
             num_scalar_prefetch=len(scalar_args),
             in_specs=[
                 block_spec,
+                len_col_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
@@ -284,15 +305,8 @@ def paged_decode_attention_grouped(
     )(
         *scalar_args,
         q3,
+        lengths.reshape(B, 1),
         k_pages,
         v_pages,
     )
     return out.reshape(B, D)
-
-
-def _best_ppcb(w, g, page_size, d, kv_bytes):
-    budget = 8 * 1024 * 1024
-    for c in range(w, 0, -1):
-        if w % c == 0 and 4 * g * c * page_size * d * kv_bytes <= budget:
-            return c
-    return 1

@@ -249,11 +249,19 @@ def _autonomous_burst(
         )
         return (kv, new_lengths, new_last, out_tokens, final_lens), None
 
-    (kv, lengths, last_tokens, out_tokens, final_lens), _ = jax.lax.scan(
-        round_fn,
+    def run_rounds(carry):
+        out, _ = jax.lax.scan(
+            round_fn, carry, None, length=engine_cfg.n_forward_rounds
+        )
+        return out
+
+    # chunked dispatch overshoots past completion by up to chunk-1 bursts;
+    # skip the whole decode scan when no slot is live so those cost ~nothing
+    (kv, lengths, last_tokens, out_tokens, final_lens) = jax.lax.cond(
+        jnp.any(lengths > 0),
+        run_rounds,
+        lambda c: c,
         (kv, lengths, last_tokens, st.out_tokens, st.final_lens),
-        None,
-        length=engine_cfg.n_forward_rounds,
     )
 
     new_st = AutoState(
