@@ -104,7 +104,7 @@ def main():
     ap.add_argument("--model", default="ref", choices=["ref", "gpt2s"],
                     help="ref = reference-parity single attention block; "
                          "gpt2s = 12-layer GPT-2-small-class stack")
-    ap.add_argument("--bursts-per-chunk", type=int, default=16)
+    ap.add_argument("--bursts-per-chunk", type=int, default=24)
     args = ap.parse_args()
 
     if args.model == "gpt2s":
