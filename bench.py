@@ -71,11 +71,12 @@ def build_store(rng, n_requests, max_prompt, n_vocab):
     return store
 
 
-def run_once(params, model_cfg, engine_cfg, store, attention, engine_kind="host", rounds_chunk=4, capacity=None):
+def run_once(params, model_cfg, engine_cfg, store, attention, engine_kind="host", rounds_chunk=4, capacity=None, max_new=128):
     if engine_kind == "auto":
         engine = AutonomousEngine(
             params, model_cfg, engine_cfg, attention_impl=attention,
             bursts_per_chunk=rounds_chunk, request_capacity=capacity,
+            max_new_per_burst=max_new,
         )
     else:
         engine = PagedEngine(params, model_cfg, engine_cfg, attention_impl=attention)
@@ -105,6 +106,7 @@ def main():
                     help="ref = reference-parity single attention block; "
                          "gpt2s = 12-layer GPT-2-small-class stack")
     ap.add_argument("--bursts-per-chunk", type=int, default=24)
+    ap.add_argument("--max-new-per-burst", type=int, default=256)
     args = ap.parse_args()
 
     if args.model == "gpt2s":
@@ -139,7 +141,8 @@ def main():
         # recompiles nothing.
         warm_store = build_store(rng, min(args.slots, 64), min(64, args.seq // 2), args.vocab)
         run_once(params, model_cfg, engine_cfg, warm_store, args.attention,
-                 args.engine, args.bursts_per_chunk, args.requests)
+                 args.engine, args.bursts_per_chunk, args.requests,
+                 args.max_new_per_burst)
 
     # best-of-N timed runs: the device transport has ~15-20% run-to-run
     # variance; report peak sustained throughput
@@ -149,7 +152,8 @@ def main():
         store = build_store(rng, args.requests, min(64, args.seq // 2), args.vocab)
         t0 = time.perf_counter()
         counter = run_once(params, model_cfg, engine_cfg, store, args.attention,
-                           args.engine, args.bursts_per_chunk, args.requests)
+                           args.engine, args.bursts_per_chunk, args.requests,
+                 args.max_new_per_burst)
         wall = time.perf_counter() - t0
         if best is None or wall < best[1]:
             best = (counter, wall)
