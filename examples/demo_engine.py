@@ -14,10 +14,12 @@ import numpy as np
 import jax
 
 from min_llm_inference_tpu import (
+    AutonomousEngine,
     DenseEngine,
     EngineConfig,
     ItemStorage,
     ModelConfig,
+    NativePagedEngine,
     PagedEngine,
     Request,
     get_global_throughput_counter,
@@ -37,7 +39,8 @@ def build_store(rng, n_items, model_cfg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--backend", default="both", choices=["dense", "paged", "both"])
+    ap.add_argument("--backend", default="both",
+                    choices=["dense", "paged", "native", "auto", "both", "all"])
     ap.add_argument("--n-items", type=int, default=32)
     ap.add_argument("--attention", default="jnp", choices=["jnp", "pallas"])
     args = ap.parse_args()
@@ -48,7 +51,12 @@ def main():
     params = init_params(jax.random.PRNGKey(0), model_cfg, eof_bias=0.05)
 
     outputs = {}
-    backends = ["dense", "paged"] if args.backend == "both" else [args.backend]
+    if args.backend == "both":
+        backends = ["dense", "paged"]
+    elif args.backend == "all":
+        backends = ["dense", "paged", "native", "auto"]
+    else:
+        backends = [args.backend]
     for name in backends:
         rng = np.random.default_rng(42)
         counter = get_global_throughput_counter()
@@ -56,6 +64,10 @@ def main():
         store = build_store(rng, args.n_items, model_cfg)
         if name == "dense":
             eng = DenseEngine(params, model_cfg, engine_cfg)
+        elif name == "native":
+            eng = NativePagedEngine(params, model_cfg, engine_cfg, attention_impl=args.attention)
+        elif name == "auto":
+            eng = AutonomousEngine(params, model_cfg, engine_cfg, attention_impl=args.attention)
         else:
             eng = PagedEngine(params, model_cfg, engine_cfg, attention_impl=args.attention)
         eng.run(store)
@@ -67,9 +79,22 @@ def main():
         print(f"[{name}] request 0: prompt={sample.tokens[:sample.prompt_len]} "
               f"-> generated={sample.tokens[sample.prompt_len:]}")
 
-    if len(backends) == 2:
-        match = all(outputs["dense"][i] == outputs["paged"][i] for i in outputs["dense"])
-        print(f"dense vs paged token-exact parity: {'OK' if match else 'MISMATCH'}")
+    # NB: with --attention pallas the fused kernel's flash accumulation
+    # order differs from the dense backend's exact softmax; under the
+    # MXU's bf16 multiplies that can flip greedy near-ties, so exact
+    # parity with "dense" is only guaranteed for --attention jnp. The
+    # pallas-backed engines must always agree with each other.
+    if len(backends) > 1:
+        ref_name = backends[0]
+        for other in backends[1:]:
+            n_match = sum(
+                outputs[ref_name][i] == outputs[other][i]
+                for i in outputs[ref_name]
+            )
+            tag = "OK" if n_match == len(outputs[ref_name]) else (
+                f"{n_match}/{len(outputs[ref_name])} sequences identical"
+            )
+            print(f"{ref_name} vs {other} token parity: {tag}")
 
 
 if __name__ == "__main__":
