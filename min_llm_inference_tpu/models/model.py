@@ -95,11 +95,16 @@ def decode_round_tokens(
     pos = jnp.maximum(lengths - 1, 0)
     h = token_pos_embed(last_tokens, pos, params["wte"], params["wpe"])
     live = lengths > 0
+    D = h.shape[-1]
     for li, layer in enumerate(params["layers"]):
         x = layer_attn_input(layer, cfg, h)
-        q = feed_forward(x, layer["wq"])
-        k = feed_forward(x, layer["wk"])
-        v = feed_forward(x, layer["wv"])
+        if "wqkv" in layer:
+            qkv = feed_forward(x, layer["wqkv"])
+            q, k, v = qkv[:, :D], qkv[:, D : 2 * D], qkv[:, 2 * D :]
+        else:
+            q = feed_forward(x, layer["wq"])
+            k = feed_forward(x, layer["wk"])
+            v = feed_forward(x, layer["wv"])
         write_kv(li, pos, k, v, live)
         attn_out = attend(li, q, lengths)
         h = layer_post(layer, cfg, h, attn_out)
@@ -153,10 +158,15 @@ def prefill_write_kv(
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (M, S))
     h = token_pos_embed(prompts, positions, params["wte"], params["wpe"])
     n_layers = len(params["layers"])
+    D = h.shape[-1]
     for li, layer in enumerate(params["layers"]):
         x = layer_attn_input(layer, cfg, h)
-        k = feed_forward(x, layer["wk"])
-        v = feed_forward(x, layer["wv"])
+        if "wkv" in layer:
+            kv = feed_forward(x, layer["wkv"])
+            k, v = kv[..., :D], kv[..., D:]
+        else:
+            k = feed_forward(x, layer["wk"])
+            v = feed_forward(x, layer["wv"])
         write_kv_block(li, k, v)
         if li + 1 < n_layers:
             q = feed_forward(x, layer["wq"])

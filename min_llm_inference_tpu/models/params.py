@@ -65,3 +65,30 @@ def init_params(
         layers.append(layer)
 
     return {"wte": wte, "wpe": wpe, "layers": layers}
+
+
+def fuse_qkv_params(params: Params) -> Params:
+    """Add fused projection weights per layer: wqkv = [wq|wk|wv] along the
+    output dim (one MXU matmul instead of three in the decode round) and
+    wkv = [wk|wv] (prefill). Works on plain and weight-quantized leaves
+    (per-output-column scales concatenate). Returns a new params dict;
+    originals kept (checkpointing/sharding use the unfused layout).
+    """
+    import jax.numpy as jnp
+
+    def cat(ws):
+        if isinstance(ws[0], dict):  # weight-quantized {"q","scale"}
+            return {
+                "q": jnp.concatenate([w["q"] for w in ws], axis=1),
+                "scale": jnp.concatenate([w["scale"] for w in ws], axis=0),
+            }
+        return jnp.concatenate(ws, axis=1)
+
+    out = dict(params)
+    out["layers"] = []
+    for layer in params["layers"]:
+        nl = dict(layer)
+        nl["wqkv"] = cat([layer["wq"], layer["wk"], layer["wv"]])
+        nl["wkv"] = cat([layer["wk"], layer["wv"]])
+        out["layers"].append(nl)
+    return out

@@ -310,7 +310,9 @@ class AutonomousEngine:
     ):
         model_cfg.validate()
         engine_cfg.validate(model_cfg)
-        self.params = params
+        from ..models.params import fuse_qkv_params
+
+        self.params = fuse_qkv_params(params)
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
         W = engine_cfg.pages_per_slot(model_cfg.n_seq)

@@ -32,6 +32,7 @@ from ..constants import EMPTY_ROW_TOKEN_ID
 from ..metrics import get_global_throughput_counter
 from ..models.dense import init_dense_state, make_dense_fns
 from ..models.paged import init_paged_state, make_paged_fns
+from ..models.params import fuse_qkv_params
 from .item_storage import (
     ItemStorage,
     Request,
@@ -52,7 +53,7 @@ class _EngineBase:
     def __init__(self, params, model_cfg: ModelConfig, engine_cfg: EngineConfig):
         model_cfg.validate()
         engine_cfg.validate(model_cfg)
-        self.params = params
+        self.params = fuse_qkv_params(params)
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
         B, S = engine_cfg.n_slots, model_cfg.n_seq
