@@ -101,3 +101,48 @@ def test_token_pos_embed_and_tied_logits():
     x = rng.standard_normal((3, 6)).astype(np.float32)
     lg = np.asarray(tied_logits(jnp.asarray(x), jnp.asarray(wte)))
     np.testing.assert_allclose(lg, x @ wte.T, rtol=1e-5)
+
+
+def test_feed_forward_bias_activation():
+    # reference FeedForward validates W[in,out] + optional bias + activation
+    # (src/layers.cpp:10-52, tests/feed_forward_layer_test.cpp)
+    import jax
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((4, 8)).astype(np.float32)
+    w = rng.standard_normal((8, 6)).astype(np.float32)
+    b = rng.standard_normal(6).astype(np.float32)
+    from min_llm_inference_tpu.ops.reference import feed_forward
+    y = np.asarray(feed_forward(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b)))
+    np.testing.assert_allclose(y, x @ w + b, rtol=1e-5, atol=1e-5)
+    y2 = np.asarray(feed_forward(jnp.asarray(x), jnp.asarray(w), jnp.asarray(b),
+                                 activation=jax.nn.relu))
+    np.testing.assert_allclose(y2, np.maximum(x @ w + b, 0), rtol=1e-5, atol=1e-5)
+
+
+def test_online_softmax_matches_numpy():
+    from min_llm_inference_tpu.ops.reference import online_softmax
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((7, 33)).astype(np.float32) * 5
+    got = np.asarray(online_softmax(jnp.asarray(x)))
+    e = np.exp(x - x.max(axis=-1, keepdims=True))
+    want = e / e.sum(axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_qkv_params_equivalence(rng):
+    # fused [wq|wk|wv] matmul must produce identical projections
+    from min_llm_inference_tpu import ModelConfig, init_params
+    from min_llm_inference_tpu.models.params import fuse_qkv_params
+    from min_llm_inference_tpu.ops.reference import feed_forward
+    import jax
+    cfg = ModelConfig(n_vocab=32, emb_dim=16, n_seq=16, eof_token_id=31)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    fused = fuse_qkv_params(params)
+    x = jnp.asarray(rng.standard_normal((5, 16)).astype(np.float32))
+    qkv = np.asarray(feed_forward(x, fused["layers"][0]["wqkv"]))
+    for i, name in enumerate(("wq", "wk", "wv")):
+        np.testing.assert_allclose(
+            qkv[:, i * 16 : (i + 1) * 16],
+            np.asarray(feed_forward(x, params["layers"][0][name])),
+            rtol=1e-5, atol=1e-6,
+        )
