@@ -98,7 +98,8 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv-dtype", default="int8")
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--attention", default="pallas", choices=["jnp", "pallas"])
+    ap.add_argument("--attention", default="pallas",
+                    choices=["jnp", "pallas", "grouped"])
     ap.add_argument("--max-prefill-batch", type=int, default=128)
     ap.add_argument("--no-warmup", action="store_true")
     ap.add_argument("--engine", default="auto", choices=["host", "auto"])
@@ -107,7 +108,14 @@ def main():
                          "gpt2s = 12-layer GPT-2-small-class stack")
     ap.add_argument("--bursts-per-chunk", type=int, default=24)
     ap.add_argument("--max-new-per-burst", type=int, default=256)
+    ap.add_argument("--profile", default=None, metavar="LOGDIR",
+                    help="capture a jax.profiler (xprof) trace of ONE timed "
+                         "run into LOGDIR (reference: NVTX + make profile)")
+    ap.add_argument("--phase-stats", action="store_true",
+                    help="print per-engine-phase host wall times to stderr")
     args = ap.parse_args()
+    if args.profile:
+        args.repeats = 1  # trace exactly the one timed run
 
     if args.model == "gpt2s":
         model_cfg = ModelConfig(
@@ -146,18 +154,30 @@ def main():
 
     # best-of-N timed runs: the device transport has ~15-20% run-to-run
     # variance; report peak sustained throughput
+    from min_llm_inference_tpu.utils.profiling import (
+        get_global_phase_stats,
+        trace,
+    )
+
     best = None
     for _ in range(max(1, args.repeats)):
         get_global_throughput_counter().reset()  # before submits, for TTFT
+        get_global_phase_stats().reset()
         store = build_store(rng, args.requests, min(64, args.seq // 2), args.vocab)
         t0 = time.perf_counter()
-        counter = run_once(params, model_cfg, engine_cfg, store, args.attention,
-                           args.engine, args.bursts_per_chunk, args.requests,
-                 args.max_new_per_burst)
+        with trace(args.profile):
+            counter = run_once(params, model_cfg, engine_cfg, store, args.attention,
+                               args.engine, args.bursts_per_chunk, args.requests,
+                               args.max_new_per_burst)
         wall = time.perf_counter() - t0
         if best is None or wall < best[1]:
             best = (counter, wall)
     counter, wall = best
+    if args.phase_stats or args.profile:
+        print(json.dumps({"phase_stats": get_global_phase_stats().summary()}),
+              file=sys.stderr)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
     tok_s = counter.total_tokens / wall  # honest wall around the whole run
     result = {

@@ -42,7 +42,8 @@ def main():
     ap.add_argument("--backend", default="both",
                     choices=["dense", "paged", "native", "auto", "both", "all"])
     ap.add_argument("--n-items", type=int, default=32)
-    ap.add_argument("--attention", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--attention", default="jnp",
+                    choices=["jnp", "pallas", "grouped"])
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")

@@ -95,3 +95,13 @@ class EngineConfig:
         assert 0 < self.n_forward_rounds <= self.page_size
         assert self.init_num_pages > 0
         assert self.max_prefill_batch > 0
+        # A pool smaller than one admission grant can never admit anything —
+        # reject at construction rather than stalling at runtime.
+        assert self.n_pages >= self.init_num_pages, (
+            f"n_pages={self.n_pages} < init_num_pages={self.init_num_pages}: "
+            "pool can never admit a request"
+        )
+        assert self.n_pages >= self.pages_per_slot(model.n_seq), (
+            f"n_pages={self.n_pages} cannot hold one full sequence "
+            f"({self.pages_per_slot(model.n_seq)} pages)"
+        )

@@ -35,6 +35,38 @@ from ..ops.reference import (
 )
 
 
+class SingleChipCtx:
+    """Parallel context: the seams where tensor-parallel execution differs
+    from single-chip. The model math below is written once against this
+    interface; the tp variant (parallel/sharded.TpShardCtx) overrides the
+    four seams with ICI collectives (all_gather / psum / pmax) and local
+    head counts, so sharded and single-chip execution share ALL layer math
+    (no forked implementations — the reference's parity-chain discipline,
+    tests/inferencer_test.cpp:151-163, extended to the mesh)."""
+
+    tp = 1
+
+    def psum(self, x):
+        """Reduce a row-parallel partial product (wo / w_down / logits)."""
+        return x
+
+    def pmax(self, x):
+        """Max-reduce feature-sharded absmax (int8 per-page scales)."""
+        return x
+
+    def embed(self, params, tokens, positions):
+        return token_pos_embed(tokens, positions, params["wte"], params["wpe"])
+
+    def logits(self, h, wte):
+        return tied_logits(h, wte)
+
+    def local_heads(self, cfg: "ModelConfig") -> int:
+        return cfg.n_heads
+
+
+DEFAULT_CTX = SingleChipCtx()
+
+
 def _maybe_layernorm(x, gain, cfg: ModelConfig):
     if gain is None:
         return x
@@ -50,18 +82,22 @@ def _use_residual(cfg: ModelConfig) -> bool:
     return cfg.n_layers > 1 or cfg.ffn_dim > 0 or cfg.use_output_proj or cfg.use_layernorm
 
 
-def layer_post(layer, cfg: ModelConfig, h_in, attn_out):
-    """Combine attention output with the residual stream + optional FFN."""
+def layer_post(layer, cfg: ModelConfig, h_in, attn_out, ctx=DEFAULT_CTX):
+    """Combine attention output with the residual stream + optional FFN.
+    Under tp, wo and w_down are row-parallel: their products are partial
+    sums reduced by ctx.psum (Megatron-style)."""
     if cfg.use_output_proj:
-        attn_out = feed_forward(attn_out, layer["wo"])
+        attn_out = ctx.psum(feed_forward(attn_out, layer["wo"]))
     if not _use_residual(cfg):
         return attn_out
     h = h_in + attn_out
     if cfg.ffn_dim > 0:
         h_norm = _maybe_layernorm(h, layer.get("ln2_g"), cfg)
-        ffn = feed_forward(
-            feed_forward(h_norm, layer["w_up"], activation=jax.nn.gelu),
-            layer["w_down"],
+        ffn = ctx.psum(
+            feed_forward(
+                feed_forward(h_norm, layer["w_up"], activation=jax.nn.gelu),
+                layer["w_down"],
+            )
         )
         h = h + ffn
     return h
@@ -78,6 +114,7 @@ def decode_round_tokens(
     last_tokens,
     write_kv: Callable,
     attend: Callable,
+    ctx=DEFAULT_CTX,
 ):
     """One greedy decode round for every live batch slot.
 
@@ -93,23 +130,32 @@ def decode_round_tokens(
     Returns (next_tokens [B], new_lengths [B]).
     """
     pos = jnp.maximum(lengths - 1, 0)
-    h = token_pos_embed(last_tokens, pos, params["wte"], params["wpe"])
+    with jax.named_scope("embed"):
+        h = ctx.embed(params, last_tokens, pos)
     live = lengths > 0
-    D = h.shape[-1]
     for li, layer in enumerate(params["layers"]):
         x = layer_attn_input(layer, cfg, h)
-        if "wqkv" in layer:
-            qkv = feed_forward(x, layer["wqkv"])
-            q, k, v = qkv[:, :D], qkv[:, D : 2 * D], qkv[:, 2 * D :]
-        else:
-            q = feed_forward(x, layer["wq"])
-            k = feed_forward(x, layer["wk"])
-            v = feed_forward(x, layer["wv"])
-        write_kv(li, pos, k, v, live)
-        attn_out = attend(li, q, lengths)
-        h = layer_post(layer, cfg, h, attn_out)
-    logits = tied_logits(h, params["wte"])
-    return greedy_next_token(logits, lengths, cfg.n_seq, cfg.eof_token_id)
+        with jax.named_scope(f"l{li}.qkv_proj"):
+            if "wqkv" in layer:
+                # fused projection; under tp the local block is [q_l|k_l|v_l]
+                # (fuse_qkv_params interleaves per rank) so thirds of the
+                # LOCAL width split it on every topology
+                qkv = feed_forward(x, layer["wqkv"])
+                dl = qkv.shape[-1] // 3
+                q, k, v = qkv[:, :dl], qkv[:, dl : 2 * dl], qkv[:, 2 * dl :]
+            else:
+                q = feed_forward(x, layer["wq"])
+                k = feed_forward(x, layer["wk"])
+                v = feed_forward(x, layer["wv"])
+        with jax.named_scope(f"l{li}.write_kv"):
+            write_kv(li, pos, k, v, live)
+        with jax.named_scope(f"l{li}.attend"):
+            attn_out = attend(li, q, lengths)
+        with jax.named_scope(f"l{li}.post"):
+            h = layer_post(layer, cfg, h, attn_out, ctx)
+    with jax.named_scope("logits_argmax"):
+        logits = ctx.logits(h, params["wte"])
+        return greedy_next_token(logits, lengths, cfg.n_seq, cfg.eof_token_id)
 
 
 def causal_masked_attention(q, k, v, lengths, n_heads: int):
@@ -139,6 +185,7 @@ def prefill_write_kv(
     prompts,
     prompt_lengths,
     write_kv_block: Callable,
+    ctx=DEFAULT_CTX,
 ):
     """Prefill: run the prompt block through all layers, writing each
     layer's K/V context via the backend callback.
@@ -156,19 +203,26 @@ def prefill_write_kv(
     """
     M, S = prompts.shape
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (M, S))
-    h = token_pos_embed(prompts, positions, params["wte"], params["wpe"])
+    with jax.named_scope("prefill.embed"):
+        h = ctx.embed(params, prompts, positions)
     n_layers = len(params["layers"])
-    D = h.shape[-1]
     for li, layer in enumerate(params["layers"]):
         x = layer_attn_input(layer, cfg, h)
-        if "wkv" in layer:
-            kv = feed_forward(x, layer["wkv"])
-            k, v = kv[..., :D], kv[..., D:]
-        else:
-            k = feed_forward(x, layer["wk"])
-            v = feed_forward(x, layer["wv"])
-        write_kv_block(li, k, v)
+        with jax.named_scope(f"prefill.l{li}.kv_proj"):
+            if "wkv" in layer:
+                # fused K|V projection; local block is [k_l|v_l] under tp
+                kv = feed_forward(x, layer["wkv"])
+                dl = kv.shape[-1] // 2
+                k, v = kv[..., :dl], kv[..., dl:]
+            else:
+                k = feed_forward(x, layer["wk"])
+                v = feed_forward(x, layer["wv"])
+        with jax.named_scope(f"prefill.l{li}.write_kv"):
+            write_kv_block(li, k, v)
         if li + 1 < n_layers:
-            q = feed_forward(x, layer["wq"])
-            attn_out = causal_masked_attention(q, k, v, prompt_lengths, cfg.n_heads)
-            h = layer_post(layer, cfg, h, attn_out)
+            with jax.named_scope(f"prefill.l{li}.attn"):
+                q = feed_forward(x, layer["wq"])
+                attn_out = causal_masked_attention(
+                    q, k, v, prompt_lengths, ctx.local_heads(cfg)
+                )
+                h = layer_post(layer, cfg, h, attn_out, ctx)

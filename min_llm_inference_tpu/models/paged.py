@@ -4,11 +4,18 @@ TPU-native analogue of the reference's paged backends
 (PagedAttentionLayer / PagedAttentionCublasLayer + the page-table machinery,
 src/kernels/paged_attention.cu, include/paged_item_storage.h). The
 reference's ``float**`` pointer page table becomes an **integer** page-index
-table ``[n_slots, pages_per_slot]`` into pooled KV arrays
-``[n_pages, page_size, emb]`` per layer — indices, not pointers, so the
-table rides into jit/Pallas as data (and, in the fused kernel, as
-scalar-prefetch SMEM operands — the analogue of the reference's
+table ``[n_slots, pages_per_slot]`` into a pooled KV array — indices, not
+pointers, so the table rides into jit/Pallas as data (and, in the fused
+kernel, as scalar-prefetch SMEM operands — the analogue of the reference's
 shared-memory ``page_pos`` caching trick, paged_attention.cu:38-44).
+
+K and V live in ONE pool per layer, ``[n_pages, 2, page_size, emb]``
+(index 0 = K rows, 1 = V rows) — the TPU analogue of the reference packing
+(inp_emb, k, v) sub-buffers into a single page allocation
+(include/constants.h page-table offsets, include/utils.h:32-44). One page
+fetch delivers K and V together (one DMA instead of two in the decode
+kernel — the decode path is DMA-latency-bound), and one scatter + one
+quantize pass writes both.
 
 Two interchangeable attention implementations:
   * ``jnp``   — gathers pages to a contiguous per-slot view and reuses the
@@ -34,37 +41,40 @@ import jax
 import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
-from ..ops.quant import dequantize_rows, quantize_tokens_per_page
+from ..ops.quant import (
+    dequantize_rows,
+    quantize_rows_against_pages,
+    update_page_scales,
+)
 from ..ops.reference import masked_attention
-from .model import decode_round_tokens, prefill_write_kv
+from .model import DEFAULT_CTX, decode_round_tokens, prefill_write_kv
 
 
 class PagedKVState(NamedTuple):
-    # tuples of per-layer arrays [n_pages, page_size, emb]; for int8 KV the
-    # pages are int8 with one fp32 scale per PAGE in *_scales [n_pages]
-    # (None entries when unquantized) — per-page scales ride into the
-    # Pallas kernel as scalar prefetch, costing zero extra DMA
-    k_pages: Tuple[jax.Array, ...]
-    v_pages: Tuple[jax.Array, ...]
+    # tuples of per-layer pools [n_pages, 2, page_size, emb] (0=K, 1=V); for
+    # int8 KV the pools are int8 with one fp32 scale per page per side in
+    # k_scales/v_scales [n_pages] (None entries when unquantized) —
+    # per-page scales ride into the Pallas kernel as scalar prefetch,
+    # costing zero extra DMA
+    kv_pages: Tuple[jax.Array, ...]
     k_scales: Tuple = ()
     v_scales: Tuple = ()
 
 
 def init_paged_state(model_cfg: ModelConfig, engine_cfg: EngineConfig) -> PagedKVState:
-    shape = (engine_cfg.n_pages, engine_cfg.page_size, model_cfg.emb_dim)
+    shape = (engine_cfg.n_pages, 2, engine_cfg.page_size, model_cfg.emb_dim)
     dtype = engine_cfg.kv_jax_dtype
     L = model_cfg.n_layers
-    k = tuple(jnp.zeros(shape, dtype) for _ in range(L))
-    v = tuple(jnp.zeros(shape, dtype) for _ in range(L))
+    kv = tuple(jnp.zeros(shape, dtype) for _ in range(L))
     if engine_cfg.kv_dtype == "int8":
         ks = tuple(jnp.zeros((engine_cfg.n_pages,), jnp.float32) for _ in range(L))
         vs = tuple(jnp.zeros((engine_cfg.n_pages,), jnp.float32) for _ in range(L))
-        return PagedKVState(k, v, ks, vs)
-    return PagedKVState(k, v, (None,) * L, (None,) * L)
+        return PagedKVState(kv, ks, vs)
+    return PagedKVState(kv, (None,) * L, (None,) * L)
 
 
 def _flat_scatter_indices(page_rows, positions, valid, page_size, n_pages):
-    """Map (slot-local) positions to flat token indices in the pooled KV.
+    """Map (slot-local) positions to flat TOKEN indices (page*P + row).
 
     page_rows: [..., W] page-index rows; positions: [...] int32 token
     positions; valid: [...] bool. Invalid entries map out of range so the
@@ -79,37 +89,69 @@ def _flat_scatter_indices(page_rows, positions, valid, page_size, n_pages):
     return jnp.where(valid, flat, n_pages * page_size)
 
 
-def _scatter_tokens(pool, flat_idx, values):
-    """pool: [n_pages, P, D]; flat_idx: [N] (OOB = drop); values: [N, D]."""
-    n_pages, P, D = pool.shape
-    flat = pool.reshape(n_pages * P, D)
-    flat = flat.at[flat_idx].set(values.astype(pool.dtype), mode="drop")
-    return flat.reshape(n_pages, P, D)
+def _kv_row_indices(flat_idx, page_size):
+    """Token flat idx (page*P + row) -> (k_row, v_row) into the pooled
+    [n_pages*2*P, D] flat view. OOB token indices stay OOB."""
+    page = flat_idx // page_size
+    row = flat_idx % page_size
+    k_row = page * (2 * page_size) + row
+    return k_row, k_row + page_size
 
 
-def _write_tokens(pool, scales, flat_idx, values, positions):
-    """Scatter token rows into the pool; int8 pools quantize against their
-    page's scale (set when the page's row 0 is written — see
-    quantize_tokens_per_page)."""
-    if scales is None:
-        return _scatter_tokens(pool, flat_idx, values), None
-    P = pool.shape[1]
-    q, scales = quantize_tokens_per_page(values, flat_idx, scales, P, positions)
-    pool = _scatter_tokens(pool, flat_idx, q)
-    return pool, scales
+def _scatter_kv(pool, flat_idx, k, v):
+    """pool: [NP, 2, P, D]; flat_idx: [N] token indices (OOB = drop);
+    k/v: [N, D]. One scatter writes both sides."""
+    NP_, _, P, D = pool.shape
+    flat = pool.reshape(NP_ * 2 * P, D)
+    ki, vi = _kv_row_indices(flat_idx, P)
+    idx = jnp.concatenate([ki, vi])
+    vals = jnp.concatenate([k, v]).astype(pool.dtype)
+    return flat.at[idx].set(vals, mode="drop").reshape(NP_, 2, P, D)
 
 
-def gather_context(pool, page_table, page_size):
-    """Gather each slot's pages into a contiguous [B, W*P, D] view.
+def _write_kv_tokens(pool, k_scales, v_scales, flat_idx, k, v, fresh_pid,
+                     scale_reduce=None):
+    """Scatter K and V token rows into the pool (one pass). For int8 pools,
+    pages listed in fresh_pid (their row 0 is among these writes) get their
+    scale reset from that row's absmax (see quant.update_page_scales); all
+    rows quantize against the resulting per-page scales.
 
-    Stale/garbage table entries are clamped in-bounds by the gather; the
-    gathered garbage is masked by `lengths` downstream.
+    fresh_pid: [N] page id per row if that row starts its page, else OOB.
+    scale_reduce: cross-rank absmax reduce under tp (see update_page_scales).
     """
-    n_pages, P, D = pool.shape
+    if k_scales is None:
+        return _scatter_kv(pool, flat_idx, k, v), None, None
+    P = pool.shape[2]
+    k_scales = update_page_scales(k_scales, k, fresh_pid, scale_reduce)
+    v_scales = update_page_scales(v_scales, v, fresh_pid, scale_reduce)
+    qk = quantize_rows_against_pages(k, flat_idx, k_scales, P)
+    qv = quantize_rows_against_pages(v, flat_idx, v_scales, P)
+    return _scatter_kv(pool, flat_idx, qk, qv), k_scales, v_scales
+
+
+def decode_fresh_pid(page_table, pos, live, page_size, n_pages):
+    """Page id to (re)set the scale of during a decode append: the write
+    lands on the page's row 0 (pos % P == 0) of a live slot; OOB = none."""
+    page = jnp.take_along_axis(
+        page_table, (pos // page_size)[..., None], axis=-1
+    )[..., 0]
+    return jnp.where(live & (pos % page_size == 0), page, n_pages)
+
+
+def gather_kv_context(pool, page_table, page_size):
+    """Gather each slot's pages into contiguous per-slot views.
+
+    pool: [NP, 2, P, D] -> (k_ctx, v_ctx) each [B, W*P, D]. Stale/garbage
+    table entries are clamped in-bounds by the gather; the gathered garbage
+    is masked by `lengths` downstream.
+    """
+    NP_, _, P, D = pool.shape
     B, W = page_table.shape
-    flat = pool.reshape(n_pages * P, D)
-    idx = page_table[:, :, None] * P + jnp.arange(P, dtype=page_table.dtype)[None, None, :]
-    return flat[jnp.clip(idx.reshape(B, W * P), 0, n_pages * P - 1)]
+    flat = pool.reshape(NP_ * 2 * P, D)
+    base = jnp.clip(page_table, 0, NP_ - 1)[:, :, None] * (2 * P)
+    offs = jnp.arange(P, dtype=page_table.dtype)[None, None, :]
+    kidx = (base + offs).reshape(B, W * P)
+    return flat[kidx], flat[kidx + P]
 
 
 def gather_scales(scales, page_table, page_size):
@@ -117,6 +159,63 @@ def gather_scales(scales, page_table, page_size):
     B, W = page_table.shape
     per_page = scales[jnp.clip(page_table, 0, scales.shape[0] - 1)]  # [B, W]
     return jnp.repeat(per_page, page_size, axis=1)
+
+
+def combine_kv_pools(k_pages, v_pages):
+    """[NP, P, D] x2 -> pooled [NP, 2, P, D] (test/fixture helper)."""
+    return jnp.stack([k_pages, v_pages], axis=1)
+
+
+def make_prefill_kv_writer(
+    state: PagedKVState,
+    flat_idx,     # [M*S] token scatter indices (OOB = drop)
+    fresh_pid,    # [M*F] page ids whose row 0 is written (OOB = none)
+    page_size: int,
+    scale_reduce=None,
+):
+    """Build the write_kv_block callback for prefill_write_kv over this
+    paged state. Prefill writes whole pages starting at their row 0, so the
+    fresh rows are the STATIC stride-P slices of the block — the per-page
+    scale needs absmax over M*ceil(S/P) rows, not all M*S rows.
+
+    Returns (write_kv_block, finalize) where finalize() -> new PagedKVState.
+    """
+    kv_pages = list(state.kv_pages)
+    k_scales = list(state.k_scales)
+    v_scales = list(state.v_scales)
+
+    def write_kv_block(li, k, v):
+        # k/v: [M, S, D]
+        D = k.shape[-1]
+        kf, vf = k.reshape(-1, D), v.reshape(-1, D)
+        if k_scales[li] is None:
+            kv_pages[li] = _scatter_kv(kv_pages[li], flat_idx, kf, vf)
+            return
+        P = page_size
+        k_scales[li] = update_page_scales(
+            k_scales[li], k[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
+        )
+        v_scales[li] = update_page_scales(
+            v_scales[li], v[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
+        )
+        qk = quantize_rows_against_pages(kf, flat_idx, k_scales[li], P)
+        qv = quantize_rows_against_pages(vf, flat_idx, v_scales[li], P)
+        kv_pages[li] = _scatter_kv(kv_pages[li], flat_idx, qk, qv)
+
+    def finalize() -> PagedKVState:
+        return PagedKVState(tuple(kv_pages), tuple(k_scales), tuple(v_scales))
+
+    return write_kv_block, finalize
+
+
+def prefill_fresh_pid(page_rows, prompt_lengths, s_pre, page_size, n_pages):
+    """Fresh-page ids for a compact prefill block: positions 0, P, 2P, ...
+    < prompt_length start their pages. page_rows: [M, W]. Returns [M*F]."""
+    F = -(-s_pre // page_size)  # ceil
+    fresh_positions = jnp.arange(F, dtype=jnp.int32) * page_size
+    valid = fresh_positions[None, :] < prompt_lengths[:, None]  # [M, F]
+    pid = jnp.where(valid, page_rows[:, :F], n_pages)
+    return pid.reshape(-1)
 
 
 def _prefill(
@@ -127,6 +226,7 @@ def _prefill(
     prompts,       # [M, S] int32, compact new slots (padded rows: length 0)
     prompt_lengths,  # [M] int32
     page_rows,     # [M, W] int32 page-table rows of those slots
+    ctx=DEFAULT_CTX,
 ):
     P = engine_cfg.page_size
     NP = engine_cfg.n_pages
@@ -135,27 +235,59 @@ def _prefill(
     valid = positions < prompt_lengths[:, None]
     rows3 = jnp.broadcast_to(page_rows[:, None, :], (M, S, page_rows.shape[1]))
     flat_idx = _flat_scatter_indices(rows3, positions, valid, P, NP).reshape(-1)
+    fresh_pid = prefill_fresh_pid(page_rows, prompt_lengths, S, P, NP)
 
-    k_pages = list(state.k_pages)
-    v_pages = list(state.v_pages)
-    k_scales = list(state.k_scales)
-    v_scales = list(state.v_scales)
-
-    flat_positions = positions.reshape(-1)
-
-    def write_kv_block(li, k, v):
-        D = k.shape[-1]
-        k_pages[li], k_scales[li] = _write_tokens(
-            k_pages[li], k_scales[li], flat_idx, k.reshape(-1, D), flat_positions
-        )
-        v_pages[li], v_scales[li] = _write_tokens(
-            v_pages[li], v_scales[li], flat_idx, v.reshape(-1, D), flat_positions
-        )
-
-    prefill_write_kv(params, model_cfg, prompts, prompt_lengths, write_kv_block)
-    return PagedKVState(
-        tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+    scale_reduce = ctx.pmax if ctx.tp > 1 else None
+    write_kv_block, finalize = make_prefill_kv_writer(
+        state, flat_idx, fresh_pid, P, scale_reduce
     )
+    prefill_write_kv(
+        params, model_cfg, prompts, prompt_lengths, write_kv_block, ctx
+    )
+    return finalize()
+
+
+def jnp_paged_attend(pool, ks, vs, q, lengths, page_table, page_size, n_heads):
+    """The gather-based (oracle) paged attention for one layer."""
+    kctx, vctx = gather_kv_context(pool, page_table, page_size)
+    if ks is not None:
+        kctx = dequantize_rows(kctx, gather_scales(ks, page_table, page_size))
+        vctx = dequantize_rows(vctx, gather_scales(vs, page_table, page_size))
+    return masked_attention(q, kctx, vctx, lengths, n_heads)
+
+
+def make_attend_impl(model_cfg: ModelConfig, engine_cfg: EngineConfig,
+                     attention_impl: str, page_table, n_heads=None):
+    """attend(pool, ks, vs, q, lengths) for a fixed page table, dispatching
+    to the fused Pallas kernel (one-slot or grouped grid) or the jnp oracle.
+    n_heads overrides the model's head count (tp ranks attend over their
+    local heads)."""
+    P = engine_cfg.page_size
+    n_heads = n_heads or model_cfg.n_heads
+    if attention_impl in ("pallas", "grouped"):
+        # Pallas compiles natively on TPU (incl. the tunneled "axon"
+        # platform); on CPU (tests) it runs in interpreter mode. Decided at
+        # trace time — the backend is static.
+        interpret = jax.default_backend() == "cpu"
+        if attention_impl == "grouped":
+            from ..ops.paged_attention_grouped import (
+                paged_decode_attention_grouped as kernel,
+            )
+        else:
+            from ..ops.paged_attention import paged_decode_attention as kernel
+
+        def attend(pool, ks, vs, q, lens):
+            return kernel(
+                q, pool, lens, page_table, k_scales=ks, v_scales=vs,
+                n_heads=model_cfg.n_heads, interpret=interpret,
+            ).astype(q.dtype)
+    else:
+        def attend(pool, ks, vs, q, lens):
+            return jnp_paged_attend(
+                pool, ks, vs, q, lens, page_table, P, model_cfg.n_heads
+            )
+
+    return attend
 
 
 def _decode_rounds(
@@ -169,76 +301,57 @@ def _decode_rounds(
                    # upload carries every scheduler decision per host step.
     lengths,      # [B] int32 (device-chained)
     last_tokens,  # [B] int32 (device-chained)
+    ctx=DEFAULT_CTX,
 ):
     P = engine_cfg.page_size
     NP = engine_cfg.n_pages
-    B = lengths.shape[0]
     upd = sched_packed[:, 0]
     lengths = jnp.where(upd >= 0, upd, lengths)
     last_tokens = jnp.where(upd >= 0, sched_packed[:, 1], last_tokens)
     page_table = sched_packed[:, 2:]
-
-    if attention_impl == "pallas":
-        from ..ops.paged_attention import paged_decode_attention
-
-        # Pallas compiles natively on TPU (incl. the tunneled "axon"
-        # platform); on CPU (tests) it runs in interpreter mode. Decided at
-        # trace time — the backend is static.
-        interpret = jax.default_backend() == "cpu"
-
-        def attend_impl(kp, vp, ks, vs, q, lens):
-            return paged_decode_attention(
-                q, kp, vp, lens, page_table,
-                k_scales=ks, v_scales=vs,
-                n_heads=model_cfg.n_heads, interpret=interpret,
-            ).astype(q.dtype)
-    else:
-        def attend_impl(kp, vp, ks, vs, q, lens):
-            kctx = gather_context(kp, page_table, P)
-            vctx = gather_context(vp, page_table, P)
-            if ks is not None:
-                kctx = dequantize_rows(kctx, gather_scales(ks, page_table, P))
-                vctx = dequantize_rows(vctx, gather_scales(vs, page_table, P))
-            return masked_attention(q, kctx, vctx, lens, model_cfg.n_heads)
+    attend_impl = make_attend_impl(
+        model_cfg, engine_cfg, attention_impl, page_table,
+        n_heads=ctx.local_heads(model_cfg),
+    )
+    scale_reduce = ctx.pmax if ctx.tp > 1 else None
 
     def round_fn(carry, _):
-        k_pages, v_pages, k_scales, v_scales, lengths, last = carry
-        k_pages, v_pages = list(k_pages), list(v_pages)
+        kv_pages, k_scales, v_scales, lengths, last = carry
+        kv_pages = list(kv_pages)
         k_scales, v_scales = list(k_scales), list(v_scales)
         live = lengths > 0
         pos = jnp.maximum(lengths - 1, 0)
         flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
+        fresh_pid = decode_fresh_pid(page_table, pos, live, P, NP)
 
         def write_kv(li, pos_, k, v, live_):
-            k_pages[li], k_scales[li] = _write_tokens(
-                k_pages[li], k_scales[li], flat_idx, k, pos
-            )
-            v_pages[li], v_scales[li] = _write_tokens(
-                v_pages[li], v_scales[li], flat_idx, v, pos
+            kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
+                kv_pages[li], k_scales[li], v_scales[li],
+                flat_idx, k, v, fresh_pid, scale_reduce,
             )
 
         def attend(li, q, lens):
             return attend_impl(
-                k_pages[li], v_pages[li], k_scales[li], v_scales[li], q, lens
+                kv_pages[li], k_scales[li], v_scales[li], q, lens
             )
 
         tok, new_lengths = decode_round_tokens(
-            params, model_cfg, lengths, last, write_kv, attend
+            params, model_cfg, lengths, last, write_kv, attend, ctx
         )
         new_last = jnp.where(live, tok, last)
         return (
-            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales),
+            tuple(kv_pages), tuple(k_scales), tuple(v_scales),
             new_lengths, new_last,
         ), tok
 
-    (kps, vps, kss, vss, lengths, last), toks = jax.lax.scan(
+    (kvp, kss, vss, lengths, last), toks = jax.lax.scan(
         round_fn,
-        (state.k_pages, state.v_pages, state.k_scales, state.v_scales,
+        (state.kv_pages, state.k_scales, state.v_scales,
          lengths, last_tokens),
         None,
         length=engine_cfg.n_forward_rounds,
     )
-    return PagedKVState(kps, vps, kss, vss), lengths, last, toks.T
+    return PagedKVState(kvp, kss, vss), lengths, last, toks.T
 
 
 @functools.lru_cache(maxsize=None)

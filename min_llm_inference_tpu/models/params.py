@@ -67,22 +67,39 @@ def init_params(
     return {"wte": wte, "wpe": wpe, "layers": layers}
 
 
-def fuse_qkv_params(params: Params) -> Params:
+def fuse_qkv_params(params: Params, tp: int = 1) -> Params:
     """Add fused projection weights per layer: wqkv = [wq|wk|wv] along the
     output dim (one MXU matmul instead of three in the decode round) and
     wkv = [wk|wv] (prefill). Works on plain and weight-quantized leaves
     (per-output-column scales concatenate). Returns a new params dict;
     originals kept (checkpointing/sharding use the unfused layout).
+
+    tp > 1 interleaves the fused columns PER TENSOR-PARALLEL RANK —
+    [q_r0|k_r0|v_r0 | q_r1|k_r1|v_r1 | ...] — so sharding the fused weight
+    P(None, "tp") hands each rank a contiguous local [q_l|k_l|v_l] block
+    that the shared model math splits by thirds of the local width.
     """
     import jax.numpy as jnp
 
     def cat(ws):
+        def inter(arrs, axis):
+            if tp == 1:
+                return jnp.concatenate(arrs, axis=axis)
+            blocks = []
+            for r in range(tp):
+                for a in arrs:
+                    d = a.shape[axis] // tp
+                    blocks.append(
+                        jax.lax.slice_in_dim(a, r * d, (r + 1) * d, axis=axis)
+                    )
+            return jnp.concatenate(blocks, axis=axis)
+
         if isinstance(ws[0], dict):  # weight-quantized {"q","scale"}
             return {
-                "q": jnp.concatenate([w["q"] for w in ws], axis=1),
-                "scale": jnp.concatenate([w["scale"] for w in ws], axis=0),
+                "q": inter([w["q"] for w in ws], 1),
+                "scale": inter([w["scale"] for w in ws], 0),
             }
-        return jnp.concatenate(ws, axis=1)
+        return inter(ws, 1)
 
     out = dict(params)
     out["layers"] = []

@@ -10,23 +10,33 @@ of a materialized [B, n_seq] score matrix:
     of the reference's shared-memory ``page_pos`` caching trick
     (paged_attention.cu:38-44; README.md:56-72): indices are available
     before the kernel body, so page DMAs are issued ahead of compute;
-  * K/V pages stream HBM -> VMEM with double-buffered async DMA, one DMA
-    per (non-contiguous) page, next block prefetched while the current one
-    is in the MXU;
+  * K and V live in ONE pool ``[n_pages, 2, page_size, D]`` (the analogue
+    of the reference packing k/v sub-buffers into one page allocation,
+    include/utils.h:32-44), so ONE DMA per page streams both — the decode
+    path is DMA-latency-bound, and this halves the DMA count;
+  * pages stream HBM -> VMEM with double-buffered async DMA, the next
+    block prefetched while the current one is in the MXU;
   * per-slot ``lengths`` masking, with length-0 (dead) slots producing
     exact zeros — the engine's liveness convention;
-  * INT8 KV: pages are int8 with one fp32 scale per page; the scales also
-    ride scalar prefetch (SMEM), so the quantized path DMAs exactly half
-    the bytes of bf16 — dequant is a per-page scalar multiply after the
-    copy.
+  * INT8 KV: pages are int8 with one fp32 scale per page per side; the
+    scales ride scalar prefetch (SMEM), so the quantized path DMAs exactly
+    half the bytes of bf16 — dequant is a per-page scalar multiply after
+    the copy.
 
 Layout (framework-native, differs from jax.experimental's kernel):
   q:          [B, D]           D = n_heads * head_dim, packed
-  k/v_pages:  [n_pages, page_size, D]  one shared pool, heads packed
+  kv_pages:   [n_pages, 2, page_size, D]  one shared pool (0=K, 1=V)
   lengths:    [B] int32        0 = dead slot
   page_table: [B, W] int32     page ids per slot (stale beyond its pages)
   k/v_scales: [n_pages] f32    per-page int8 scales (quantized only)
 Returns [B, D] float32.
+
+Kernel-structure attribution: the double-buffered page-DMA scheme
+(_PageBlockCopy, next_compute_block's dead-slot walk, buffer_index/
+init_flag flags, the -0.7*f32max mask value) is derived from JAX's
+Apache-2.0 ``jax.experimental.pallas.ops.tpu.paged_attention`` kernel,
+substantially reworked for this framework (pooled K|V page layout, packed
+heads, per-page scalar int8 scales via SMEM, exact-zero dead slots).
 """
 
 from __future__ import annotations
@@ -44,7 +54,8 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 class _PageBlockCopy:
     """Async-copy descriptor for one compute block of KV pages: one DMA per
-    page (pages are non-contiguous in the pool), all started concurrently."""
+    page (pages are non-contiguous in the pool) covering that page's K AND
+    V rows, all started concurrently."""
 
     def __init__(self, pages_hbm_ref, vmem_buf, sem, page_tbl_ref, b, block_start, n_pages_to_load):
         self._buf = vmem_buf
@@ -61,25 +72,29 @@ class _PageBlockCopy:
         for c in self._copies:
             c.start()
 
-    def wait_only(self):
+    def wait(self):
         for c in self._copies:
             c.wait()
 
-    def wait_and_get(self, scales_ref=None, page_tbl_ref=None, b=None, block_start=None):
-        """Returns the block as [bk, D] float32; int8 blocks are
-        dequantized with their pages' scalar scales (read from SMEM — no
-        scale DMA)."""
+    def wait_and_get_kv(self, k_scales_ref=None, v_scales_ref=None,
+                        page_tbl_ref=None, b=None, block_start=None):
+        """Returns (k, v) each [bk, D] float32; int8 pages are dequantized
+        with their page's scalar scales (read from SMEM — no scale DMA)."""
         for c in self._copies:
             c.wait()
-        ppcb, page_size, d = self._buf.shape
-        if scales_ref is None:
-            return self._buf[...].astype(jnp.float32).reshape(ppcb * page_size, d)
-        pages = [
-            self._buf[j].astype(jnp.float32)
-            * scales_ref[page_tbl_ref[b, block_start + j]]
-            for j in range(ppcb)
-        ]
-        return jnp.concatenate(pages, axis=0)  # [bk, D]
+        ppcb, _, page_size, d = self._buf.shape
+        if k_scales_ref is None:
+            blk = self._buf[...].astype(jnp.float32)  # [ppcb, 2, P, D]
+            return (
+                blk[:, 0].reshape(ppcb * page_size, d),
+                blk[:, 1].reshape(ppcb * page_size, d),
+            )
+        ks, vs = [], []
+        for j in range(ppcb):
+            pid = page_tbl_ref[b, block_start + j]
+            ks.append(self._buf[j, 0].astype(jnp.float32) * k_scales_ref[pid])
+            vs.append(self._buf[j, 1].astype(jnp.float32) * v_scales_ref[pid])
+        return jnp.concatenate(ks, axis=0), jnp.concatenate(vs, axis=0)
 
 
 def _paged_decode_kernel(
@@ -94,30 +109,25 @@ def _paged_decode_kernel(
     if quantized:
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
          k_scales_ref, v_scales_ref,
-         q_ref, k_pages_hbm, v_pages_hbm,
-         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+         q_ref, pages_hbm,
+         o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = refs
     else:
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
-         q_ref, k_pages_hbm, v_pages_hbm,
-         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+         q_ref, pages_hbm,
+         o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = refs
         k_scales_ref = v_scales_ref = None
 
     b, i = pl.program_id(0), pl.program_id(1)
     ppcb = pages_per_compute_block
-    page_size = k_buf.shape[2]
+    page_size = kv_buf.shape[3]
     bk = ppcb * page_size
     length = lengths_ref[b]
 
-    def make_copies(b_, i_, buf_idx):
-        k_copy = _PageBlockCopy(
-            k_pages_hbm, k_buf.at[buf_idx], k_sem.at[buf_idx],
+    def make_copy(b_, i_, buf_idx):
+        return _PageBlockCopy(
+            pages_hbm, kv_buf.at[buf_idx], kv_sem.at[buf_idx],
             page_tbl_ref, b_, i_ * ppcb, ppcb,
         )
-        v_copy = _PageBlockCopy(
-            v_pages_hbm, v_buf.at[buf_idx], v_sem.at[buf_idx],
-            page_tbl_ref, b_, i_ * ppcb, ppcb,
-        )
-        return k_copy, v_copy
 
     def next_compute_block(b_, i_):
         """First (b', i') at or after (b_, i_) whose block is inside its
@@ -127,12 +137,14 @@ def _paged_decode_kernel(
             next_b = b_ + 1
 
             def skip_dead():
-                return lax.fori_loop(
-                    next_b + 1,
-                    batch_size,
-                    lambda _, bb: jnp.where(lengths_ref[bb] == 0, bb + 1, bb),
-                    next_b + 1,
-                )
+                # bb can reach batch_size when every trailing slot is dead;
+                # clamp the SMEM read and gate the walk (the unclamped read
+                # would be out-of-bounds UB on hardware).
+                def body(_, bb):
+                    dead = lengths_ref[lax.clamp(0, bb, batch_size - 1)] == 0
+                    return jnp.where((bb < batch_size) & dead, bb + 1, bb)
+
+                return lax.fori_loop(next_b + 1, batch_size, body, next_b + 1)
 
             return (
                 lax.cond(
@@ -164,22 +176,20 @@ def _paged_decode_kernel(
 
         @pl.when(init_flag == 1)
         def prefetch_first():
-            k_copy, v_copy = make_copies(b, i, buffer_index)
-            k_copy.start()
-            v_copy.start()
+            make_copy(b, i, buffer_index).start()
 
         @pl.when(next_b < batch_size)
         def prefetch_next():
             nbi = jnp.where(buffer_index == 0, 1, 0)
-            k_copy, v_copy = make_copies(next_b, next_i, nbi)
-            k_copy.start()
-            v_copy.start()
+            make_copy(next_b, next_i, nbi).start()
             buffer_index_ref[0] = nbi
 
-        k_copy, v_copy = make_copies(b, i, buffer_index)
+        copy = make_copy(b, i, buffer_index)
         q = q_ref[...].astype(jnp.float32)          # [H, dh]
         dh = q.shape[-1]
-        k = k_copy.wait_and_get(k_scales_ref, page_tbl_ref, b, i * ppcb)
+        k, v = copy.wait_and_get_kv(
+            k_scales_ref, v_scales_ref, page_tbl_ref, b, i * ppcb
+        )
         # qk[h, t] = sum_d q[h, d] * k[t, h*dh + d], scaled 1/sqrt(dh) like
         # the reference qkt kernel (scale applied at score time). Heads are
         # a static unrolled loop — Mosaic has no batched dot_general.
@@ -208,7 +218,6 @@ def _paged_decode_kernel(
         l_next = alpha * l_prev + beta * l_curr
         m_scratch[...], l_scratch[...] = m_next, l_next
 
-        v = v_copy.wait_and_get(v_scales_ref, page_tbl_ref, b, i * ppcb)
         o_curr = jnp.concatenate(
             [
                 lax.dot_general(
@@ -240,8 +249,7 @@ def _choose_ppcb(w: int, page_size: int, d: int, kv_bytes: int) -> int:
 )
 def paged_decode_attention(
     q,            # [B, D]
-    k_pages,      # [NP, P, D]
-    v_pages,
+    kv_pages,     # [NP, 2, P, D] (0 = K rows, 1 = V rows)
     lengths,      # [B] int32
     page_table,   # [B, W] int32
     k_scales=None,  # [NP] f32 per-page scales (int8 KV)
@@ -252,12 +260,12 @@ def paged_decode_attention(
     interpret: bool = False,
 ):
     B, D = q.shape
-    NP, P, Dk = k_pages.shape
-    assert Dk == D and v_pages.shape == k_pages.shape
+    NP, two, P, Dk = kv_pages.shape
+    assert two == 2 and Dk == D
     W = page_table.shape[1]
     assert D % n_heads == 0
     dh = D // n_heads
-    ppcb = pages_per_compute_block or _choose_ppcb(W, P, D, k_pages.dtype.itemsize)
+    ppcb = pages_per_compute_block or _choose_ppcb(W, P, D, kv_pages.dtype.itemsize)
     assert W % ppcb == 0
     quantized = k_scales is not None
     if quantized:
@@ -288,16 +296,13 @@ def paged_decode_attention(
             in_specs=[
                 block_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=block_spec,
             grid=(B, W // ppcb),
             scratch_shapes=[
                 pltpu.VMEM((n_heads, dh), jnp.float32),  # m
                 pltpu.VMEM((n_heads, dh), jnp.float32),  # l
-                pltpu.VMEM((2, ppcb, P, D), k_pages.dtype),
-                pltpu.VMEM((2, ppcb, P, D), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, ppcb, 2, P, D), kv_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -309,7 +314,6 @@ def paged_decode_attention(
     )(
         *scalar_args,
         q3,
-        k_pages,
-        v_pages,
+        kv_pages,
     )
     return out.reshape(B, D)

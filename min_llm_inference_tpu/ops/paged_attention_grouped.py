@@ -3,18 +3,26 @@
 Variant of ops/paged_attention.py that processes GROUP_SIZE slots per grid
 step. Motivation (measured): the one-slot kernel's marginal cost is
 ~2us/slot dominated by VPU chains on single-row tensors (softmax stats on
-[1, bk] uses 1 of 8 sublanes). Here the per-slot work is only the QK^T /
-PV dots (different K/V blocks per slot); ALL elementwise work — masking,
-online-softmax statistics, accumulator updates — runs batched on
-[G*H, bk] / [G*H, dh] tiles at full VPU width.
+[1, bk] uses 1 of 8 sublanes) and by per-step DMA-wait latency. Here the
+per-slot work is only the QK^T / PV dots (different K/V blocks per slot);
+ALL elementwise work — masking, online-softmax statistics, accumulator
+updates — runs batched on [G*H, bk] / [G*H, dh] tiles at full VPU width,
+and G slots' page DMAs are issued together (G x more DMAs in flight per
+grid step — directly attacking the DMA-wait equilibrium).
 
 Inactive rows (dead slots, or slots whose length ends before this block)
 are handled by zeroing their score rows: their l stays 0 and the guarded
 division leaves their output at the init value (exact zeros).
 
-Same layout contract as the ungrouped kernel; requires
-n_slots % group_size == 0. Lengths ride twice: scalar prefetch (control
-flow, group-skip walk) and as a [B, 1] VMEM column (vector masks).
+Same layout contract as the ungrouped kernel (pooled K|V pages
+[n_pages, 2, page_size, D]); requires n_slots % group_size == 0. Lengths
+ride twice: scalar prefetch (control flow, group-skip walk) and as a
+[B, 1] VMEM column (vector masks).
+
+Kernel-structure attribution: shares the double-buffered page-DMA scheme
+derived from JAX's Apache-2.0 ``jax.experimental.pallas.ops.tpu
+.paged_attention`` kernel (see ops/paged_attention.py), reworked here for
+grouped slots and batched VPU statistics.
 """
 
 from __future__ import annotations
@@ -49,37 +57,29 @@ def _grouped_kernel(
     if quantized:
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
          k_scales_ref, v_scales_ref,
-         q_ref, len_col_ref, k_pages_hbm, v_pages_hbm,
-         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+         q_ref, len_col_ref, pages_hbm,
+         o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = refs
     else:
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
-         q_ref, len_col_ref, k_pages_hbm, v_pages_hbm,
-         o_ref, m_scratch, l_scratch, k_buf, v_buf, k_sem, v_sem) = refs
+         q_ref, len_col_ref, pages_hbm,
+         o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = refs
         k_scales_ref = v_scales_ref = None
 
     g, i = pl.program_id(0), pl.program_id(1)
     num_groups = batch_size // G
-    page_size = k_buf.shape[3]
+    page_size = kv_buf.shape[4]
     bk = ppcb * page_size
     H = n_heads
     gmax = _group_max_len(lengths_ref, g, G)
 
     def make_copies(g_, i_, buf_idx):
-        ks = [
+        return [
             _PageBlockCopy(
-                k_pages_hbm, k_buf.at[buf_idx, j], k_sem.at[buf_idx],
+                pages_hbm, kv_buf.at[buf_idx, j], kv_sem.at[buf_idx],
                 page_tbl_ref, g_ * G + j, i_ * ppcb, ppcb,
             )
             for j in range(G)
         ]
-        vs = [
-            _PageBlockCopy(
-                v_pages_hbm, v_buf.at[buf_idx, j], v_sem.at[buf_idx],
-                page_tbl_ref, g_ * G + j, i_ * ppcb, ppcb,
-            )
-            for j in range(G)
-        ]
-        return ks, vs
 
     def next_compute_block(g_, i_):
         def advance_g():
@@ -109,32 +109,33 @@ def _grouped_kernel(
 
         @pl.when(init_flag == 1)
         def prefetch_first():
-            ks, vs = make_copies(g, i, buffer_index)
-            for c in ks + vs:
+            for c in make_copies(g, i, buffer_index):
                 c.start()
 
         @pl.when(next_g < num_groups)
         def prefetch_next():
             nbi = jnp.where(buffer_index == 0, 1, 0)
-            ks, vs = make_copies(next_g, next_i, nbi)
-            for c in ks + vs:
+            for c in make_copies(next_g, next_i, nbi):
                 c.start()
             buffer_index_ref[0] = nbi
 
-        ks, vs = make_copies(g, i, buffer_index)
+        copies = make_copies(g, i, buffer_index)
         q_all = q_ref[...].astype(jnp.float32)   # [G*H, dh]
         dh = q_all.shape[-1]
 
-        # per-slot QK^T dots (different K per slot), then batch everything
-        k_blocks = [
-            ks[j].wait_and_get(k_scales_ref, page_tbl_ref, g * G + j, i * ppcb)
+        # per-slot QK^T / PV dots (different K/V per slot), everything else
+        # batched; one wait per slot delivers its K AND V block
+        kv_blocks = [
+            copies[j].wait_and_get_kv(
+                k_scales_ref, v_scales_ref, page_tbl_ref, g * G + j, i * ppcb
+            )
             for j in range(G)
         ]
         qk = jnp.concatenate(
             [
                 lax.dot_general(
                     q_all[j * H + h : j * H + h + 1],
-                    k_blocks[j][:, h * dh : (h + 1) * dh],
+                    kv_blocks[j][0][:, h * dh : (h + 1) * dh],
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -180,15 +181,11 @@ def _grouped_kernel(
         l_scratch[...] = l_next
         l_safe = jnp.maximum(l_next, jnp.finfo(jnp.float32).tiny)
 
-        v_blocks = [
-            vs[j].wait_and_get(v_scales_ref, page_tbl_ref, g * G + j, i * ppcb)
-            for j in range(G)
-        ]
         o_curr = jnp.concatenate(
             [
                 lax.dot_general(
                     s_curr[(j * H + h) : (j * H + h + 1), :],
-                    v_blocks[j][:, h * dh : (h + 1) * dh],
+                    kv_blocks[j][1][:, h * dh : (h + 1) * dh],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
@@ -233,8 +230,7 @@ def _best_ppcb(w, g, page_size, d, kv_bytes):
 )
 def paged_decode_attention_grouped(
     q,            # [B, D]
-    k_pages,      # [NP, P, D]
-    v_pages,
+    kv_pages,     # [NP, 2, P, D] (0 = K rows, 1 = V rows)
     lengths,      # [B] int32
     page_table,   # [B, W] int32
     k_scales=None,
@@ -246,14 +242,14 @@ def paged_decode_attention_grouped(
     interpret: bool = False,
 ):
     B, D = q.shape
-    NP, P, Dk = k_pages.shape
-    assert Dk == D and v_pages.shape == k_pages.shape
+    NP, two, P, Dk = kv_pages.shape
+    assert two == 2 and Dk == D
     W = page_table.shape[1]
     dh = D // n_heads
-    auto_g, auto_c = _choose_group(B, W, P, D, k_pages.dtype.itemsize)
+    auto_g, auto_c = _choose_group(B, W, P, D, kv_pages.dtype.itemsize)
     G = group_size or auto_g
     ppcb = pages_per_compute_block or (auto_c if group_size is None else
-                                       _best_ppcb(W, G, P, D, k_pages.dtype.itemsize))
+                                       _best_ppcb(W, G, P, D, kv_pages.dtype.itemsize))
     assert B % G == 0 and W % ppcb == 0
     assert G * n_heads >= 8, "need >=8 rows per block for TPU sublane tiling"
     quantized = k_scales is not None
@@ -284,16 +280,13 @@ def paged_decode_attention_grouped(
                 block_spec,
                 len_col_spec,
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=block_spec,
             grid=(B // G, W // ppcb),
             scratch_shapes=[
                 pltpu.VMEM((G * n_heads, dh), jnp.float32),  # m
                 pltpu.VMEM((G * n_heads, dh), jnp.float32),  # l
-                pltpu.VMEM((2, G, ppcb, P, D), k_pages.dtype),
-                pltpu.VMEM((2, G, ppcb, P, D), v_pages.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((2, G, ppcb, 2, P, D), kv_pages.dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -306,7 +299,6 @@ def paged_decode_attention_grouped(
         *scalar_args,
         q3,
         lengths.reshape(B, 1),
-        k_pages,
-        v_pages,
+        kv_pages,
     )
     return out.reshape(B, D)

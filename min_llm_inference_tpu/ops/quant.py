@@ -39,6 +39,40 @@ def dequantize_rows(q, scales):
 PAGE_SCALE_HEADROOM = 2.0
 
 
+def update_page_scales(page_scales, rows, row_pid, absmax_reduce=None):
+    """(Re)set the scale of freshly-started pages from their row-0 write:
+    scale = absmax(row) * PAGE_SCALE_HEADROOM / 127.
+
+    rows: [N, D]; row_pid: [N] target page per row, OOB = no update. Valid
+    row_pids must be unique within the call (each page has ONE row 0 —
+    guaranteed by the write patterns: prefill strides by page_size, decode
+    appends one row per slot to distinct pages).
+
+    absmax_reduce: optional cross-device max over the [N] absmax vector —
+    under tensor parallelism each rank sees only D/tp features, and a
+    lax.pmax over the tp axis makes the scale the FULL-row absmax on every
+    rank, keeping int8 token streams exactly equal to single-chip.
+    """
+    absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
+    if absmax_reduce is not None:
+        absmax = absmax_reduce(absmax)
+    cand = absmax * (PAGE_SCALE_HEADROOM / INT8_MAX)
+    return page_scales.at[row_pid].set(cand, mode="drop")
+
+
+def quantize_rows_against_pages(values, flat_idx, page_scales, page_size):
+    """Quantize token rows against their page's (already-updated) scale.
+    Rows exceeding the page scale clip — PAGE_SCALE_HEADROOM leaves room.
+    values: [N, D]; flat_idx: [N] token index (page*P + row, OOB ok)."""
+    n_pages = page_scales.shape[0]
+    s_row = page_scales[jnp.clip(flat_idx // page_size, 0, n_pages - 1)]
+    inv = jnp.where(s_row > 0, 1.0 / jnp.maximum(s_row, 1e-30), 0.0)
+    vf = values.astype(jnp.float32)
+    return jnp.clip(
+        jnp.round(vf * inv[:, None]), -INT8_MAX, INT8_MAX
+    ).astype(jnp.int8)
+
+
 def quantize_tokens_per_page(values, flat_idx, page_scales, page_size, valid_pos):
     """Per-PAGE symmetric int8 quantization for paged-KV writes
     (BASELINE.json north star: "INT8 paged KV-cache, per-page scales").
@@ -47,9 +81,16 @@ def quantize_tokens_per_page(values, flat_idx, page_scales, page_size, valid_pos
     == 0) is among the writes — prefill always writes pages from their row
     0, and a decode append hits row 0 only on a fresh page — so scales are
     assigned deterministically on-device with no host coordination, and
-    stale scales from a page's previous occupant are overwritten. Rows
-    appended later to a partially-filled page are clipped to the existing
-    scale; PAGE_SCALE_HEADROOM leaves room for them.
+    stale scales from a page's previous occupant are overwritten.
+
+    The scale comes from the ROW-0 absmax ONLY (times
+    PAGE_SCALE_HEADROOM to leave room for later rows, which are clipped to
+    the existing scale). Using the same rule in prefill and decode keeps
+    recompute-on-preempt exact for the single-layer reference model: a
+    preempted request's pages are re-quantized with the identical scales on
+    re-admission. (Deeper stacks are inherently approximate under int8 +
+    preemption: decode-time K/V is computed from quantized context while
+    prefill recompute uses exact in-pass context.)
 
     values: [N, D]; flat_idx: [N] flat token slots (OOB = dropped rows);
     page_scales: [n_pages] f32; valid_pos: [N] the in-slot positions of the
@@ -57,19 +98,12 @@ def quantize_tokens_per_page(values, flat_idx, page_scales, page_size, valid_pos
     Returns (q int8 [N, D], new_page_scales [n_pages]).
     """
     n_pages = page_scales.shape[0]
-    vf = values.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(vf), axis=-1)
     pid = flat_idx // page_size  # OOB rows map >= n_pages -> dropped
     fresh = (valid_pos % page_size == 0) & (flat_idx < n_pages * page_size)
-    # candidate scale per page: max row absmax over this write batch
-    cand = jnp.zeros((n_pages,), jnp.float32).at[pid].max(
-        absmax, mode="drop"
-    ) * (PAGE_SCALE_HEADROOM / INT8_MAX)
-    fresh_page = jnp.zeros((n_pages,), bool).at[pid].max(fresh, mode="drop")
-    new_scales = jnp.where(fresh_page, cand, page_scales)
-    s_row = new_scales[jnp.clip(pid, 0, n_pages - 1)]
-    inv = jnp.where(s_row > 0, 1.0 / jnp.maximum(s_row, 1e-30), 0.0)
-    q = jnp.clip(jnp.round(vf * inv[:, None]), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    new_scales = update_page_scales(
+        page_scales, values, jnp.where(fresh, pid, n_pages)
+    )
+    q = quantize_rows_against_pages(values, flat_idx, new_scales, page_size)
     return q, new_scales
 
 

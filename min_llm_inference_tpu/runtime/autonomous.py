@@ -39,16 +39,17 @@ import jax.numpy as jnp
 from ..config import EngineConfig, ModelConfig
 from ..metrics import get_global_throughput_counter
 from ..models.model import decode_round_tokens, prefill_write_kv
+from ..utils.profiling import phase
 from ..models.paged import (
     PagedKVState,
     _flat_scatter_indices,
-    _write_tokens,
-    gather_context,
-    gather_scales,
+    _write_kv_tokens,
+    decode_fresh_pid,
     init_paged_state,
+    make_attend_impl,
+    make_prefill_kv_writer,
+    prefill_fresh_pid,
 )
-from ..ops.quant import dequantize_rows
-from ..ops.reference import masked_attention
 from .item_storage import ItemStorage, Request
 
 
@@ -83,30 +84,6 @@ def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests
         out_tokens=jnp.zeros((n_requests, model_cfg.n_seq), jnp.int32),
         final_lens=jnp.zeros(n_requests, jnp.int32),
     )
-
-
-def _attend_fn(model_cfg, engine_cfg, attention_impl, page_table):
-    P = engine_cfg.page_size
-    if attention_impl == "pallas":
-        from ..ops.paged_attention import paged_decode_attention
-
-        interpret = jax.default_backend() == "cpu"
-
-        def attend(kp, vp, ks, vs, q, lens):
-            return paged_decode_attention(
-                q, kp, vp, lens, page_table, ks, vs,
-                n_heads=model_cfg.n_heads, interpret=interpret,
-            ).astype(q.dtype)
-    else:
-        def attend(kp, vp, ks, vs, q, lens):
-            kctx = gather_context(kp, page_table, P)
-            vctx = gather_context(vp, page_table, P)
-            if ks is not None:
-                kctx = dequantize_rows(kctx, gather_scales(ks, page_table, P))
-                vctx = dequantize_rows(vctx, gather_scales(vs, page_table, P))
-            return masked_attention(q, kctx, vctx, lens, model_cfg.n_heads)
-
-    return attend
 
 
 def _autonomous_burst(
@@ -186,48 +163,38 @@ def _autonomous_burst(
         valid = positions < plens[:, None]
         rows3 = jnp.broadcast_to(granted[:, None, :], (max_new, S_pre, W))
         flat_idx = _flat_scatter_indices(rows3, positions, valid, P, NP).reshape(-1)
-        flat_pos = positions.reshape(-1)
-        k_pages, v_pages = list(kv.k_pages), list(kv.v_pages)
-        k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
-
-        def write_kv_block(li, k, v):
-            D = k.shape[-1]
-            k_pages[li], k_scales[li] = _write_tokens(
-                k_pages[li], k_scales[li], flat_idx, k.reshape(-1, D), flat_pos
-            )
-            v_pages[li], v_scales[li] = _write_tokens(
-                v_pages[li], v_scales[li], flat_idx, v.reshape(-1, D), flat_pos
-            )
-
-        prefill_write_kv(params, model_cfg, prompts, plens, write_kv_block)
-        return PagedKVState(
-            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+        fresh = prefill_fresh_pid(granted, plens, S_pre, P, NP)
+        write_kv_block, finalize = make_prefill_kv_writer(
+            kv, flat_idx, fresh, P
         )
+        prefill_write_kv(params, model_cfg, prompts, plens, write_kv_block)
+        return finalize()
 
     kv = jax.lax.cond(m > 0, do_prefill, lambda kv: kv, kv)
 
     # ---- 4. decode rounds + on-device result accumulation ----
-    attend_impl = _attend_fn(model_cfg, engine_cfg, attention_impl, page_table)
+    attend_impl = make_attend_impl(
+        model_cfg, engine_cfg, attention_impl, page_table
+    )
 
     def round_fn(carry, _):
         kv, lengths, last, out_tokens, final_lens = carry
-        k_pages, v_pages = list(kv.k_pages), list(kv.v_pages)
+        kv_pages = list(kv.kv_pages)
         k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
         live = lengths > 0
         pos = jnp.maximum(lengths - 1, 0)
         flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
+        fresh_pid = decode_fresh_pid(page_table, pos, live, P, NP)
 
         def write_kv(li, pos_, k, v, live_):
-            k_pages[li], k_scales[li] = _write_tokens(
-                k_pages[li], k_scales[li], flat_idx, k, pos
-            )
-            v_pages[li], v_scales[li] = _write_tokens(
-                v_pages[li], v_scales[li], flat_idx, v, pos
+            kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
+                kv_pages[li], k_scales[li], v_scales[li],
+                flat_idx, k, v, fresh_pid,
             )
 
         def attend(li, q, lens):
             return attend_impl(
-                k_pages[li], v_pages[li], k_scales[li], v_scales[li], q, lens
+                kv_pages[li], k_scales[li], v_scales[li], q, lens
             )
 
         tok, new_lengths = decode_round_tokens(
@@ -245,7 +212,7 @@ def _autonomous_burst(
         ].set(lengths + 1, mode="drop")
         new_last = jnp.where(live, tok, last)
         kv = PagedKVState(
-            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+            tuple(kv_pages), tuple(k_scales), tuple(v_scales)
         )
         return (kv, new_lengths, new_last, out_tokens, final_lens), None
 
@@ -352,19 +319,32 @@ class AutonomousEngine:
         n_real = jnp.asarray(n, jnp.int32)
         counter.start_record()
         done = False
+        prev_status = None
         while not done:
-            for _ in range(self.chunk):
-                st, status = self._burst(
-                    self.params, st, prompts_dev, plens_dev, n_real
-                )
-            live, head, free = (int(x) for x in np.asarray(status))
+            with phase("burst_dispatch"):
+                for _ in range(self.chunk):
+                    st, status = self._burst(
+                        self.params, st, prompts_dev, plens_dev, n_real
+                    )
+            with phase("status_fetch"):
+                live, head, free = (int(x) for x in np.asarray(status))
             done = live == 0 and head >= n
-            if live == 0 and head < n and free < (
-                self.engine_cfg.pages_per_slot(S)
-            ):
-                raise RuntimeError("autonomous engine stalled: pool exhausted")
-        out_tokens = np.asarray(st.out_tokens)
-        final_lens = np.asarray(st.final_lens)
+            # Stall detection needs TWO consecutive no-progress chunks:
+            # page freeing happens at the start of the NEXT burst, so a
+            # chunk can legitimately end with live==0, head<n and a
+            # too-small free count (all admitted slots finished inside the
+            # chunk); the follow-up chunk frees their pages and proceeds.
+            if live == 0 and head < n:
+                if (head, free) == prev_status:
+                    raise RuntimeError(
+                        "autonomous engine stalled: pool exhausted"
+                    )
+                prev_status = (head, free)
+            else:
+                prev_status = None
+        with phase("drain_fetch"):
+            out_tokens = np.asarray(st.out_tokens)
+            final_lens = np.asarray(st.final_lens)
         total = 0
         for i, req in enumerate(requests):
             fl = int(final_lens[i])

@@ -33,6 +33,7 @@ from ..metrics import get_global_throughput_counter
 from ..models.dense import init_dense_state, make_dense_fns
 from ..models.paged import init_paged_state, make_paged_fns
 from ..models.params import fuse_qkv_params
+from ..utils.profiling import phase
 from .item_storage import (
     ItemStorage,
     Request,
@@ -113,19 +114,23 @@ class DenseEngine(_EngineBase):
         counter.start_record()
         while not is_done(item_storage, processing):
             if new_slots:
-                self._run_prefill(new_slots)
-            self.state, lengths_dev, last_dev, results_dev = self._decode(
-                self.params, self.state, self.lengths, self.last_tokens
-            )
-            results = self._pull(lengths_dev, last_dev, results_dev)
-            finished = process_decoder_result(
-                results, item_storage, processing,
-                self.model_cfg.n_seq, self.model_cfg.eof_token_id,
-            )
-            new_slots = insert_new_items_dense(
-                finished, self.prompts, self.lengths, self.last_tokens,
-                item_storage, processing,
-            )
+                with phase("prefill"):
+                    self._run_prefill(new_slots)
+            with phase("forward"):
+                self.state, lengths_dev, last_dev, results_dev = self._decode(
+                    self.params, self.state, self.lengths, self.last_tokens
+                )
+            with phase("process_results"):
+                results = self._pull(lengths_dev, last_dev, results_dev)
+                finished = process_decoder_result(
+                    results, item_storage, processing,
+                    self.model_cfg.n_seq, self.model_cfg.eof_token_id,
+                )
+            with phase("insert"):
+                new_slots = insert_new_items_dense(
+                    finished, self.prompts, self.lengths, self.last_tokens,
+                    item_storage, processing,
+                )
         counter.stop_record()
 
 
@@ -273,28 +278,32 @@ class PagedEngine(_EngineBase):
         while True:
             dispatched = False
             if processing.size() > 0:
-                self.state, lengths_dev, last_dev, results_dev = self._decode(
-                    self.params, self.state, jnp.asarray(self._packed),
-                    lengths_dev, last_dev,
-                )
+                with phase("forward"):
+                    self.state, lengths_dev, last_dev, results_dev = self._decode(
+                        self.params, self.state, jnp.asarray(self._packed),
+                        lengths_dev, last_dev,
+                    )
                 dispatched = True
                 self._packed[:, 0] = -1  # consumed
             if pending is not None:
-                results = np.asarray(pending)  # the one D2H pull
-                finished = self._process_results(
-                    results, item_storage, processing, skip_slots
-                )
-                # host mirror for staging/scheduling
-                for slot in processing.slots():
-                    req = processing.get(slot)
-                    self.lengths[slot] = len(req.tokens)
-                    self.last_tokens[slot] = req.tokens[-1]
-                new_slots = self._schedule(item_storage, processing, finished)
+                with phase("process_results"):
+                    results = np.asarray(pending)  # the one D2H pull
+                    finished = self._process_results(
+                        results, item_storage, processing, skip_slots
+                    )
+                    # host mirror for staging/scheduling
+                    for slot in processing.slots():
+                        req = processing.get(slot)
+                        self.lengths[slot] = len(req.tokens)
+                        self.last_tokens[slot] = req.tokens[-1]
+                with phase("schedule"):
+                    new_slots = self._schedule(item_storage, processing, finished)
                 skip_slots = set(new_slots)
                 if new_slots:
                     # enqueued after the in-flight burst; runs before the
                     # next dispatch reads these pages
-                    self._run_prefill(new_slots)
+                    with phase("prefill"):
+                        self._run_prefill(new_slots)
             if not dispatched:
                 if is_done(item_storage, processing):
                     break
@@ -382,29 +391,33 @@ class NativePagedEngine(_EngineBase):
         while True:
             dispatched = False
             if sched.processing_count() > 0:
-                self.state, lengths_dev, last_dev, results_dev = self._decode(
-                    self.params, self.state, jnp.asarray(self._packed),
-                    lengths_dev, last_dev,
-                )
+                with phase("forward"):
+                    self.state, lengths_dev, last_dev, results_dev = self._decode(
+                        self.params, self.state, jnp.asarray(self._packed),
+                        lengths_dev, last_dev,
+                    )
                 dispatched = True
                 self._packed[:, 0] = -1
             if pending is not None:
-                results = np.asarray(pending)
-                finished = sched.process_results(
-                    results, self.lengths, self.last_tokens
-                )
-                total = sched.total_generated()
-                counter.add_record_if_recording(total - prev_total)
-                prev_total = total
-                preempted = sched.alloc_or_free(
-                    finished, self.table, self.lengths
-                )
-                new_slots = sched.insert_new(
-                    self.prompts, self.lengths, self.last_tokens, self.table
-                )
-                self._pack(new_slots, preempted)
+                with phase("process_results"):
+                    results = np.asarray(pending)
+                    finished = sched.process_results(
+                        results, self.lengths, self.last_tokens
+                    )
+                    total = sched.total_generated()
+                    counter.add_record_if_recording(total - prev_total)
+                    prev_total = total
+                with phase("schedule"):
+                    preempted = sched.alloc_or_free(
+                        finished, self.table, self.lengths
+                    )
+                    new_slots = sched.insert_new(
+                        self.prompts, self.lengths, self.last_tokens, self.table
+                    )
+                    self._pack(new_slots, preempted)
                 if new_slots:
-                    self._run_prefill(new_slots)
+                    with phase("prefill"):
+                        self._run_prefill(new_slots)
             if not dispatched:
                 if sched.is_done():
                     break

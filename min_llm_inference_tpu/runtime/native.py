@@ -27,8 +27,10 @@ def _load_lib() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
-        subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
+    # Always invoke make: the Makefile is dependency-correct, so a no-op
+    # rebuild is cheap and edits to scheduler.cpp are never shadowed by a
+    # stale binary.
+    subprocess.run(["make", "-C", _CSRC], check=True, capture_output=True)
     lib = ctypes.CDLL(_LIB_PATH)
     lib.mls_create.restype = ctypes.c_void_p
     lib.mls_create.argtypes = [ctypes.c_int32] * 8

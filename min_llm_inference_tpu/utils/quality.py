@@ -21,14 +21,14 @@ import jax.numpy as jnp
 from ..config import EngineConfig, ModelConfig
 from ..models.model import layer_attn_input, layer_post
 from ..models.paged import (
+    PagedKVState,
     _flat_scatter_indices,
-    _write_tokens,
-    gather_context,
-    gather_scales,
+    _write_kv_tokens,
+    decode_fresh_pid,
     init_paged_state,
+    jnp_paged_attend,
 )
-from ..ops.quant import dequantize_rows
-from ..ops.reference import feed_forward, masked_attention, tied_logits, token_pos_embed
+from ..ops.reference import feed_forward, tied_logits, token_pos_embed
 
 
 def teacher_forced_nll(
@@ -59,7 +59,7 @@ def teacher_forced_nll(
 
     def step(carry, t):
         kv, nll = carry
-        k_pages, v_pages = list(kv.k_pages), list(kv.v_pages)
+        kv_pages = list(kv.kv_pages)
         k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
         tok_t = tokens_d[:, t]
         valid = t < lengths_d  # position t exists
@@ -67,24 +67,21 @@ def teacher_forced_nll(
         h = token_pos_embed(tok_t, pos, params["wte"], params["wpe"])
         ctx_len = jnp.where(valid, t + 1, 0)
         flat_idx = _flat_scatter_indices(page_table, pos, valid, P, NP)
+        fresh_pid = decode_fresh_pid(page_table, pos, valid, P, NP)
 
         for li, layer in enumerate(params["layers"]):
             x = layer_attn_input(layer, model_cfg, h)
             q = feed_forward(x, layer["wq"])
             k = feed_forward(x, layer["wk"])
             v = feed_forward(x, layer["wv"])
-            k_pages[li], k_scales[li] = _write_tokens(
-                k_pages[li], k_scales[li], flat_idx, k, pos
+            kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
+                kv_pages[li], k_scales[li], v_scales[li],
+                flat_idx, k, v, fresh_pid,
             )
-            v_pages[li], v_scales[li] = _write_tokens(
-                v_pages[li], v_scales[li], flat_idx, v, pos
+            attn = jnp_paged_attend(
+                kv_pages[li], k_scales[li], v_scales[li], q, ctx_len,
+                page_table, P, model_cfg.n_heads,
             )
-            kctx = gather_context(k_pages[li], page_table, P)
-            vctx = gather_context(v_pages[li], page_table, P)
-            if k_scales[li] is not None:
-                kctx = dequantize_rows(kctx, gather_scales(k_scales[li], page_table, P))
-                vctx = dequantize_rows(vctx, gather_scales(v_scales[li], page_table, P))
-            attn = masked_attention(q, kctx, vctx, ctx_len, model_cfg.n_heads)
             h = layer_post(layer, model_cfg, h, attn)
 
         logits = tied_logits(h, params["wte"])  # [B, V]
@@ -93,10 +90,8 @@ def teacher_forced_nll(
         predict_valid = (t + 1) < lengths_d
         step_nll = -jnp.take_along_axis(logp, next_tok[:, None], axis=1)[:, 0]
         nll = nll + jnp.where(predict_valid, step_nll, 0.0)
-        from ..models.paged import PagedKVState
-
         kv = PagedKVState(
-            tuple(k_pages), tuple(v_pages), tuple(k_scales), tuple(v_scales)
+            tuple(kv_pages), tuple(k_scales), tuple(v_scales)
         )
         return (kv, nll), None
 

@@ -55,6 +55,34 @@ def test_autonomous_matches_host_engine(params, rng):
     assert c.total_tokens == gen > 0
 
 
+@pytest.mark.parametrize("attention", ["pallas", "grouped"])
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_autonomous_kernel_impls_match_jnp(params, rng, attention, kv_dtype):
+    """Fused-kernel attention (one-slot and grouped grids) must be
+    token-exact with the jnp gather oracle inside the same engine, fp and
+    int8 (identical quantized pages -> identical dequant math)."""
+    n = 12
+    cfg = EngineConfig(
+        n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=2,
+        kv_dtype=kv_dtype,
+    )
+    stores = {}
+    base = make_store(rng, n, MODEL.eof_token_id)
+    for impl in ("jnp", attention):
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(params, MODEL, cfg, attention_impl=impl).run(s)
+        stores[impl] = s
+    assert len(stores[attention].finished) == n
+    for i in range(n):
+        assert (
+            stores["jnp"].finished[i].tokens
+            == stores[attention].finished[i].tokens
+        ), i
+
+
 def test_autonomous_turnover_small_max_new(params, rng):
     # max_new smaller than slot count: admission trickles over bursts
     n = 20

@@ -17,7 +17,7 @@ from min_llm_inference_tpu import (
     get_global_throughput_counter,
     init_params,
 )
-from min_llm_inference_tpu.models.paged import gather_context, gather_scales
+from min_llm_inference_tpu.models.paged import gather_kv_context, gather_scales
 from min_llm_inference_tpu.ops.paged_attention import paged_decode_attention
 from min_llm_inference_tpu.ops.quant import (
     dequantize_rows,
@@ -54,8 +54,7 @@ def test_int8_kernel_matches_dequant_oracle(rng):
     # int8 pages + random per-page scales; oracle dequantizes via
     # gather_scales and runs the jnp masked attention
     B, W, P, D, NP = 5, 4, 32, 128, 24
-    kq = jnp.asarray(rng.integers(-127, 128, (NP, P, D)).astype(np.int8))
-    vq = jnp.asarray(rng.integers(-127, 128, (NP, P, D)).astype(np.int8))
+    kvq = jnp.asarray(rng.integers(-127, 128, (NP, 2, P, D)).astype(np.int8))
     ks = jnp.asarray((rng.random(NP) * 0.05 + 0.001).astype(np.float32))
     vs = jnp.asarray((rng.random(NP) * 0.05 + 0.001).astype(np.float32))
     table = rng.permutation(NP)[: B * W].reshape(B, W).astype(np.int32)
@@ -64,18 +63,13 @@ def test_int8_kernel_matches_dequant_oracle(rng):
 
     got = np.asarray(
         paged_decode_attention(
-            jnp.asarray(q), kq, vq, jnp.asarray(lengths), jnp.asarray(table),
+            jnp.asarray(q), kvq, jnp.asarray(lengths), jnp.asarray(table),
             ks, vs, interpret=True,
         )
     )
-    kctx = dequantize_rows(
-        gather_context(kq, jnp.asarray(table), P),
-        gather_scales(ks, jnp.asarray(table), P),
-    )
-    vctx = dequantize_rows(
-        gather_context(vq, jnp.asarray(table), P),
-        gather_scales(vs, jnp.asarray(table), P),
-    )
+    kctx_q, vctx_q = gather_kv_context(kvq, jnp.asarray(table), P)
+    kctx = dequantize_rows(kctx_q, gather_scales(ks, jnp.asarray(table), P))
+    vctx = dequantize_rows(vctx_q, gather_scales(vs, jnp.asarray(table), P))
     want = np.asarray(
         masked_attention(jnp.asarray(q), kctx, vctx, jnp.asarray(lengths), 1)
     )
