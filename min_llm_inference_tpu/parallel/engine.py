@@ -7,9 +7,18 @@ preemption) — the design SURVEY §2 calls "multi-host request sharding".
 Scheduler state is tiny and host-resident; tp ranks receive replicated
 copies and compute identical greedy decisions, so nothing diverges.
 
+The loop is the same TWO-DEEP PIPELINED shape as the single-chip
+PagedEngine (runtime/engine.py): burst k is dispatched before burst k-1's
+results are pulled, scheduler decisions ride ONE packed int32
+[n_slots, 2+W] upload, and exactly one results pull crosses the transport
+per iteration — the RPC analysis that motivated the single-chip design
+applies with even more force when the arrays are mesh-sharded.
+
 On real hardware this runs over ICI/DCN; in tests it runs on the virtual
 CPU mesh (the standard JAX validation path for slice code). Engine-level
-outputs are token-identical to the single-chip PagedEngine.
+outputs are token-identical to the single-chip PagedEngine, for every
+kv_dtype x attention_impl combination (the local step IS the single-chip
+step).
 """
 
 from __future__ import annotations
@@ -23,11 +32,11 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
 from ..metrics import get_global_throughput_counter
+from ..models.params import fuse_qkv_params
 from ..runtime.item_storage import (
     ItemStorage,
     ProcessingStorage,
     is_done,
-    process_decoder_result,
 )
 from ..runtime.paged_scheduler import (
     PagePool,
@@ -35,6 +44,8 @@ from ..runtime.paged_scheduler import (
     allocate_or_free_pages,
     insert_new_items_paged,
 )
+from ..utils.profiling import phase
+from ..constants import EMPTY_ROW_TOKEN_ID
 from .sharded import (
     init_sharded_state,
     make_mesh,
@@ -47,9 +58,9 @@ class ShardedPagedEngine:
     """Continuous batching over an n-device dp x tp mesh.
 
     Requires: model with use_output_proj and n_heads % tp == 0;
-    n_slots % dp == 0; n_pages % dp == 0. Weights are sharded on entry
-    (shard_params); KV pools are device-resident and sharded
-    ("dp", None, "tp").
+    n_slots % dp == 0; n_pages % dp == 0. Weights are fused (wqkv with
+    per-rank interleaving) and sharded on entry; KV pools are
+    device-resident PagedKVState arrays sharded ("dp", None, None, "tp").
     """
 
     def __init__(
@@ -59,6 +70,7 @@ class ShardedPagedEngine:
         engine_cfg: EngineConfig,
         n_devices: int | None = None,
         tp: int = 1,
+        attention_impl: str = "jnp",
     ):
         model_cfg.validate()
         engine_cfg.validate(model_cfg)
@@ -71,9 +83,9 @@ class ShardedPagedEngine:
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
         self.mesh = make_mesh(n_devices, tp)
-        self.params = shard_params(params, self.mesh)
-        self._prefill, self._decode = make_sharded_fns(
-            model_cfg, engine_cfg, self.mesh
+        self.params = shard_params(fuse_qkv_params(params, tp), self.mesh)
+        self._prefill_fn, self._decode = make_sharded_fns(
+            model_cfg, engine_cfg, self.mesh, attention_impl
         )
         self.state = init_sharded_state(model_cfg, engine_cfg, self.mesh)
 
@@ -88,6 +100,10 @@ class ShardedPagedEngine:
         # per-dp-group schedulers over LOCAL page ids
         self.pools = [PagePool(self.NP_loc) for _ in range(self.dp)]
         self.tables = [PageTable(self.B_loc, W) for _ in range(self.dp)]
+        self.lookahead = 2 * engine_cfg.n_forward_rounds
+        # packed scheduler operand: col0 length update (-1 = keep), col1
+        # last-token update, cols 2: the page table (local ids per group)
+        self._packed = np.zeros((B, 2 + W), dtype=np.int32)
 
     # -- per-group views ---------------------------------------------------
     def _group_slice(self, g):
@@ -102,56 +118,139 @@ class ShardedPagedEngine:
                 self.prompts[sl], self.lengths[sl], self.last_tokens[sl],
                 item_storage, processings[g], self.pools[g], self.tables[g],
                 self.engine_cfg.n_forward_rounds, self.engine_cfg.page_size,
-                self.engine_cfg.init_num_pages,
+                self.engine_cfg.init_num_pages, self.lookahead,
             )
             new_global.extend(g * self.B_loc + s for s in new_local)
         return new_global
 
-    def _global_table(self) -> np.ndarray:
-        return np.concatenate([t.table for t in self.tables], axis=0)
+    def _process_results(self, results, item_storage, processings, skip_slots):
+        """Pipelined results walk per group (see PagedEngine._process_results
+        for the skip semantics)."""
+        counter = get_global_throughput_counter()
+        n_rounds = results.shape[1]
+        finished_per_group: List[List[int]] = [[] for _ in range(self.dp)]
+        total = 0
+        eof = self.model_cfg.eof_token_id
+        n_seq = self.model_cfg.n_seq
+        for g in range(self.dp):
+            processing = processings[g]
+            for s_loc in range(self.B_loc):
+                slot = g * self.B_loc + s_loc
+                if slot in skip_slots or not processing.contains(s_loc):
+                    continue
+                req = processing.get(s_loc)
+                finished = False
+                empty = False
+                for j in range(n_rounds):
+                    tok = int(results[slot, j])
+                    if tok == EMPTY_ROW_TOKEN_ID:
+                        empty = True
+                    else:
+                        if len(req.tokens) == req.prompt_len:
+                            counter.note_first_token(req.id)
+                        req.tokens.append(tok)
+                        total += 1
+                        if len(req.tokens) >= n_seq or tok == eof:
+                            finished = True
+                    if finished or empty:
+                        break
+                if finished or empty:
+                    finished_per_group[g].append(s_loc)
+                if finished:
+                    processing.move_to_finished(s_loc, item_storage)
+        counter.add_record_if_recording(total)
+        return finished_per_group
+
+    def _schedule(self, item_storage, processings, finished_per_group):
+        new_global: List[int] = []
+        self._packed[:, 0] = -1
+        for g in range(self.dp):
+            sl = self._group_slice(g)
+            preempted = allocate_or_free_pages(
+                self.tables[g], self.pools[g], processings[g], item_storage,
+                finished_per_group[g], self.engine_cfg.n_forward_rounds,
+                self.engine_cfg.page_size, self.lookahead,
+            )
+            for s_loc in preempted:
+                self._packed[g * self.B_loc + s_loc, 0] = 0
+            new_local = insert_new_items_paged(
+                self.prompts[sl], self.lengths[sl], self.last_tokens[sl],
+                item_storage, processings[g], self.pools[g], self.tables[g],
+                self.engine_cfg.n_forward_rounds, self.engine_cfg.page_size,
+                self.engine_cfg.init_num_pages, self.lookahead,
+            )
+            new_global.extend(g * self.B_loc + s for s in new_local)
+            self._packed[sl, 2:] = self.tables[g].table
+        for slot in new_global:
+            self._packed[slot, 0] = self.lengths[slot]
+            self._packed[slot, 1] = self.last_tokens[slot]
+        return new_global
 
     def run(self, item_storage: ItemStorage) -> None:
         counter = get_global_throughput_counter()
         processings = [ProcessingStorage() for _ in range(self.dp)]
+        B = self.engine_cfg.n_slots
+
         new_slots = self._insert_all(item_storage, processings)
+        self._packed[:, 0] = 0
+        self._packed[:, 1] = 0
+        for slot in new_slots:
+            self._packed[slot, 0] = self.lengths[slot]
+            self._packed[slot, 1] = self.last_tokens[slot]
+        for g in range(self.dp):
+            self._packed[self._group_slice(g), 2:] = self.tables[g].table
+        skip_slots = set()
+        if new_slots:
+            with phase("prefill"):
+                self._run_prefill(new_slots)
+        lengths_dev = jnp.zeros(B, jnp.int32)
+        last_dev = jnp.zeros(B, jnp.int32)
+
         counter.start_record()
-        while any(p.size() for p in processings) or item_storage.new_count():
-            if new_slots:
-                self.state = self._run_prefill(new_slots)
-            kps, vps, lengths_dev, last_dev, results_dev = self._decode(
-                self.params, self.state.k_pages, self.state.v_pages,
-                jnp.asarray(self._global_table()),
-                jnp.asarray(self.lengths), jnp.asarray(self.last_tokens),
-            )
-            self.state = type(self.state)(kps, vps)
-            self.lengths = np.array(lengths_dev)
-            self.last_tokens = np.array(last_dev)
-            results = np.asarray(results_dev)
-            new_slots = []
-            for g in range(self.dp):
-                sl = self._group_slice(g)
-                finished_local = process_decoder_result(
-                    results[sl], item_storage, processings[g],
-                    self.model_cfg.n_seq, self.model_cfg.eof_token_id,
-                )
-                preempted = allocate_or_free_pages(
-                    self.tables[g], self.pools[g], processings[g],
-                    item_storage, finished_local,
-                    self.engine_cfg.n_forward_rounds,
-                    self.engine_cfg.page_size,
-                )
-                for s in preempted:
-                    self.lengths[g * self.B_loc + s] = 0
-                new_local = insert_new_items_paged(
-                    self.prompts[sl], self.lengths[sl], self.last_tokens[sl],
-                    item_storage, processings[g], self.pools[g],
-                    self.tables[g], self.engine_cfg.n_forward_rounds,
-                    self.engine_cfg.page_size, self.engine_cfg.init_num_pages,
-                )
-                new_slots.extend(g * self.B_loc + s for s in new_local)
+        pending = None
+        while True:
+            dispatched = False
+            if any(p.size() for p in processings):
+                with phase("forward"):
+                    self.state, lengths_dev, last_dev, results_dev = (
+                        self._decode(
+                            self.params, self.state,
+                            jnp.asarray(self._packed), lengths_dev, last_dev,
+                        )
+                    )
+                dispatched = True
+                self._packed[:, 0] = -1  # consumed
+            if pending is not None:
+                with phase("process_results"):
+                    results = np.asarray(pending)  # the one D2H pull
+                    finished_per_group = self._process_results(
+                        results, item_storage, processings, skip_slots
+                    )
+                    for g in range(self.dp):
+                        for s_loc in processings[g].slots():
+                            req = processings[g].get(s_loc)
+                            slot = g * self.B_loc + s_loc
+                            self.lengths[slot] = len(req.tokens)
+                            self.last_tokens[slot] = req.tokens[-1]
+                with phase("schedule"):
+                    new_slots = self._schedule(
+                        item_storage, processings, finished_per_group
+                    )
+                skip_slots = set(new_slots)
+                if new_slots:
+                    with phase("prefill"):
+                        self._run_prefill(new_slots)
+            if not dispatched:
+                if all(
+                    is_done(item_storage, p) for p in processings
+                ) and item_storage.new_count() == 0:
+                    break
+                pending = None
+                continue
+            pending = results_dev
         counter.stop_record()
 
-    def _run_prefill(self, new_slots: List[int]):
+    def _run_prefill(self, new_slots: List[int]) -> None:
         """Sharded prefill: the compact [M, S] block is dp-sharded, so each
         group's chunk rows must sit in that group's shard rows. Pad to a
         fixed per-group width for static shapes."""
@@ -163,7 +262,6 @@ class ShardedPagedEngine:
         n_chunks = max(
             (len(v) + M_loc - 1) // M_loc for v in per_group
         ) if new_slots else 0
-        state = self.state
         for c in range(n_chunks):
             prompts = np.zeros((self.dp * M_loc, S), np.int32)
             plens = np.zeros(self.dp * M_loc, np.int32)
@@ -174,9 +272,7 @@ class ShardedPagedEngine:
                     prompts[g * M_loc + j] = self.prompts[slot]
                     plens[g * M_loc + j] = self.lengths[slot]
                     rows[g * M_loc + j] = self.tables[g].table[slot % self.B_loc]
-            kps, vps = self._prefill(
-                self.params, state.k_pages, state.v_pages,
+            self.state = self._prefill_fn(
+                self.params, self.state,
                 jnp.asarray(prompts), jnp.asarray(plens), jnp.asarray(rows),
             )
-            state = type(state)(kps, vps)
-        return state

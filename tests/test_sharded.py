@@ -1,10 +1,13 @@
 """Multi-chip sharding tests on a virtual 8-device CPU mesh (SURVEY.md §4:
 same test body under jax.sharding meshes standing in for a slice).
 
-Parity oracle: the unsharded paged jnp backend with an equivalent global
-page layout — dp groups own disjoint page-id ranges, tp shards heads, so
-sharded and unsharded must agree to fp tolerance on every round's tokens.
-"""
+Parity oracle: the unsharded paged backend with an equivalent global page
+layout — dp groups own disjoint page-id ranges, tp shards heads, so sharded
+and unsharded must agree on every round's tokens, over the full
+kv_dtype x attention matrix (the sharded local step IS the single-chip
+step, models/paged.py, run under shard_map with a TpShardCtx)."""
+
+import dataclasses
 
 import numpy as np
 import pytest
@@ -14,14 +17,11 @@ import jax.numpy as jnp
 
 from min_llm_inference_tpu.config import EngineConfig, ModelConfig
 from min_llm_inference_tpu.models.paged import (
-    PagedKVState,
     init_paged_state,
     make_paged_fns,
 )
-from min_llm_inference_tpu.models.params import init_params
+from min_llm_inference_tpu.models.params import fuse_qkv_params, init_params
 from min_llm_inference_tpu.parallel.sharded import (
-    SLOT_SPEC,
-    TABLE_SPEC,
     init_sharded_state,
     make_mesh,
     make_sharded_fns,
@@ -59,6 +59,38 @@ def build_inputs(rng, dp):
     return prompts, lengths, last, local_table, global_table
 
 
+def run_unsharded(params, engine_cfg, attention, prompts, lengths, last,
+                  global_table):
+    u_prefill, u_decode = make_paged_fns(MODEL, engine_cfg, attention)
+    u_state = init_paged_state(MODEL, engine_cfg)
+    u_state = u_prefill(params, u_state, prompts, lengths, global_table)
+    W = global_table.shape[1]
+    packed = np.full((engine_cfg.n_slots, 2 + W), -1, dtype=np.int32)
+    packed[:, 2:] = global_table
+    return u_decode(
+        params, u_state, jnp.asarray(packed), jnp.asarray(lengths),
+        jnp.asarray(last),
+    )
+
+
+def run_sharded(params, engine_cfg, attention, mesh, tp, prompts, lengths,
+                last, local_table):
+    s_params = shard_params(fuse_qkv_params(params, tp), mesh)
+    s_prefill, s_decode = make_sharded_fns(MODEL, engine_cfg, mesh, attention)
+    s_state = init_sharded_state(MODEL, engine_cfg, mesh)
+    s_state = s_prefill(
+        s_params, s_state,
+        jnp.asarray(prompts), jnp.asarray(lengths), jnp.asarray(local_table),
+    )
+    W = local_table.shape[1]
+    packed = np.full((engine_cfg.n_slots, 2 + W), -1, dtype=np.int32)
+    packed[:, 2:] = local_table
+    return s_decode(
+        s_params, s_state, jnp.asarray(packed), jnp.asarray(lengths),
+        jnp.asarray(last),
+    )
+
+
 @pytest.mark.parametrize("dp,tp", [(2, 4), (4, 2), (8, 1), (1, 4)])
 def test_sharded_matches_unsharded(dp, tp):
     rng = np.random.default_rng(dp * 10 + tp)
@@ -69,34 +101,43 @@ def test_sharded_matches_unsharded(dp, tp):
     params = init_params(jax.random.PRNGKey(3), MODEL)
     prompts, lengths, last, local_table, global_table = build_inputs(rng, dp)
 
-    # --- unsharded oracle (paged jnp backend, global page ids) ---
-    u_prefill, u_decode = make_paged_fns(MODEL, ENGINE, "jnp")
-    u_state = init_paged_state(MODEL, ENGINE)
-    u_state = u_prefill(params, u_state, prompts, lengths, global_table)
-    W = global_table.shape[1]
-    packed = np.full((ENGINE.n_slots, 2 + W), -1, dtype=np.int32)
-    packed[:, 2:] = global_table
-    u_state, u_len, u_last, u_toks = u_decode(
-        params, u_state, jnp.asarray(packed), jnp.asarray(lengths),
-        jnp.asarray(last),
+    u_state, u_len, u_last, u_toks = run_unsharded(
+        fuse_qkv_params(params), ENGINE, "jnp",
+        prompts, lengths, last, global_table,
     )
-
-    # --- sharded path ---
-    s_params = shard_params(params, mesh)
-    s_prefill, s_decode = make_sharded_fns(MODEL, ENGINE, mesh)
-    s_state = init_sharded_state(MODEL, ENGINE, mesh)
-    kps, vps = s_prefill(
-        s_params, s_state.k_pages, s_state.v_pages,
-        jnp.asarray(prompts), jnp.asarray(lengths), jnp.asarray(local_table),
+    s_state, s_len, s_last, s_toks = run_sharded(
+        params, ENGINE, "jnp", mesh, tp, prompts, lengths, last, local_table
     )
-    kps, vps, s_len, s_last, s_toks = s_decode(
-        s_params, kps, vps, jnp.asarray(local_table), jnp.asarray(lengths),
-        jnp.asarray(last),
-    )
-
     np.testing.assert_array_equal(np.asarray(u_toks), np.asarray(s_toks))
     np.testing.assert_array_equal(np.asarray(u_len), np.asarray(s_len))
     np.testing.assert_array_equal(np.asarray(u_last), np.asarray(s_last))
+
+
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+@pytest.mark.parametrize("attention", ["jnp", "pallas", "grouped"])
+def test_sharded_matrix_kv_dtype_x_attention(kv_dtype, attention):
+    """The full feature matrix on the mesh: int8 per-page scales (pmax'd
+    over tp to the full-row absmax) and the fused Pallas kernels inside
+    shard_map must all reproduce the unsharded token stream."""
+    dp, tp = 2, 2
+    if len(jax.devices()) < 4:
+        pytest.skip("not enough devices")
+    rng = np.random.default_rng(17)
+    mesh = make_mesh(4, tp)
+    engine_cfg = dataclasses.replace(ENGINE, kv_dtype=kv_dtype)
+    params = init_params(jax.random.PRNGKey(3), MODEL)
+    prompts, lengths, last, local_table, global_table = build_inputs(rng, dp)
+
+    _, u_len, u_last, u_toks = run_unsharded(
+        fuse_qkv_params(params), engine_cfg, "jnp",
+        prompts, lengths, last, global_table,
+    )
+    _, s_len, s_last, s_toks = run_sharded(
+        params, engine_cfg, attention, mesh, tp,
+        prompts, lengths, last, local_table,
+    )
+    np.testing.assert_array_equal(np.asarray(u_toks), np.asarray(s_toks))
+    np.testing.assert_array_equal(np.asarray(u_len), np.asarray(s_len))
 
 
 def test_sharded_kv_pages_match_unsharded():
@@ -112,19 +153,20 @@ def test_sharded_kv_pages_match_unsharded():
 
     u_prefill, _ = make_paged_fns(MODEL, ENGINE, "jnp")
     u_state = u_prefill(
-        params, init_paged_state(MODEL, ENGINE), prompts, lengths, global_table
+        fuse_qkv_params(params), init_paged_state(MODEL, ENGINE),
+        prompts, lengths, global_table,
     )
 
-    s_params = shard_params(params, mesh)
+    s_params = shard_params(fuse_qkv_params(params, tp), mesh)
     s_prefill, _ = make_sharded_fns(MODEL, ENGINE, mesh)
     s_state = init_sharded_state(MODEL, ENGINE, mesh)
-    kps, vps = s_prefill(
-        s_params, s_state.k_pages, s_state.v_pages,
+    s_state = s_prefill(
+        s_params, s_state,
         jnp.asarray(prompts), jnp.asarray(lengths), jnp.asarray(local_table),
     )
     for li in range(MODEL.n_layers):
-        got = np.asarray(kps[li])
-        want = np.asarray(u_state.k_pages[li])
+        got = np.asarray(s_state.kv_pages[li])
+        want = np.asarray(u_state.kv_pages[li])
         # compare only token positions actually written (valid positions)
         B, W = global_table.shape
         P = ENGINE.page_size
@@ -132,11 +174,15 @@ def test_sharded_kv_pages_match_unsharded():
             for pos in range(int(lengths[b])):
                 gp = global_table[b, pos // P]
                 np.testing.assert_allclose(
-                    got[gp, pos % P], want[gp, pos % P], rtol=2e-5, atol=2e-5
+                    got[gp, :, pos % P], want[gp, :, pos % P],
+                    rtol=2e-5, atol=2e-5,
                 )
 
 
-def test_sharded_engine_end_to_end_matches_single_chip(rng):
+@pytest.mark.parametrize("kv_dtype,attention", [
+    ("float32", "jnp"), ("int8", "pallas"),
+])
+def test_sharded_engine_end_to_end_matches_single_chip(rng, kv_dtype, attention):
     """Full continuous-batching run over the dp x tp mesh: finished
     sequences must be token-identical to the single-chip PagedEngine."""
     from min_llm_inference_tpu import (
@@ -146,6 +192,7 @@ def test_sharded_engine_end_to_end_matches_single_chip(rng):
 
     if len(jax.devices()) < 8:
         pytest.skip("not enough devices")
+    engine_cfg = dataclasses.replace(ENGINE, kv_dtype=kv_dtype)
     n = 24
     store_a = ItemStorage()
     store_b = ItemStorage()
@@ -156,9 +203,11 @@ def test_sharded_engine_end_to_end_matches_single_chip(rng):
 
     params = init_params(jax.random.PRNGKey(7), MODEL)
     get_global_throughput_counter().reset()
-    PagedEngine(params, MODEL, ENGINE).run(store_a)
+    PagedEngine(params, MODEL, engine_cfg, attention_impl=attention).run(store_a)
     get_global_throughput_counter().reset()
-    eng = ShardedPagedEngine(params, MODEL, ENGINE, n_devices=8, tp=4)
+    eng = ShardedPagedEngine(
+        params, MODEL, engine_cfg, n_devices=8, tp=4, attention_impl=attention
+    )
     eng.run(store_b)
     assert len(store_b.finished) == n
     for i in range(n):
