@@ -199,9 +199,23 @@ def _grouped_kernel(
         ).astype(o_ref.dtype)
 
 
+def _vmem_cost(g, c, page_size, d, kv_bytes):
+    """Scoped-VMEM bytes for a (group_size, ppcb) candidate: the
+    double-buffered raw KV block buffer PLUS the live f32 dequantized K/V
+    copies wait_and_get_kv materializes (2 sides x g slots x c*P rows x D
+    x 4B) — the dominant term for int8 pools, and what blows the 16MB
+    scoped-vmem limit if unaccounted."""
+    raw = 2 * g * c * 2 * page_size * d * kv_bytes
+    dequant = 2 * g * c * page_size * d * 4
+    return raw + dequant
+
+
+_VMEM_BUDGET = 12 * 1024 * 1024 + 512 * 1024  # headroom under the 16MB scoped limit
+
+
 def _choose_group(b, w, page_size, d, kv_bytes):
-    """Pick (group_size, ppcb): fill ~8MB of double-buffered KV VMEM."""
-    budget = 8 * 1024 * 1024
+    """Pick (group_size, ppcb) maximizing in-flight pages within budget,
+    preferring wider groups (more slots batched per grid step)."""
     best = (1, 1)
     for g in (16, 8, 4, 2, 1):
         if b % g:
@@ -209,7 +223,7 @@ def _choose_group(b, w, page_size, d, kv_bytes):
         for c in range(w, 0, -1):
             if w % c:
                 continue
-            if 4 * g * c * page_size * d * kv_bytes <= budget:
+            if _vmem_cost(g, c, page_size, d, kv_bytes) <= _VMEM_BUDGET:
                 if g * c > best[0] * best[1]:
                     best = (g, c)
                 break
@@ -217,9 +231,8 @@ def _choose_group(b, w, page_size, d, kv_bytes):
 
 
 def _best_ppcb(w, g, page_size, d, kv_bytes):
-    budget = 8 * 1024 * 1024
     for c in range(w, 0, -1):
-        if w % c == 0 and 4 * g * c * page_size * d * kv_bytes <= budget:
+        if w % c == 0 and _vmem_cost(g, c, page_size, d, kv_bytes) <= _VMEM_BUDGET:
             return c
     return 1
 

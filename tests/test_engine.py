@@ -45,7 +45,10 @@ def make_requests(rng, n, max_prompt, n_vocab, eof):
 
 def numpy_rollout(params, prompt, n_seq, eof):
     """Independent single-sequence greedy rollout (float64 numpy) for the
-    reference-parity model: embed -> 1-head attention -> tied argmax."""
+    reference-parity model: embed -> 1-head attention -> tied argmax.
+    Returns (tokens, margins): margins[i] is the top-2 logit gap at the
+    step that produced tokens[prompt_len + i] — near-zero means an fp32
+    engine may legitimately pick the other token."""
     wte = np.asarray(params["wte"], np.float64)
     wpe = np.asarray(params["wpe"], np.float64)
     wq = np.asarray(params["layers"][0]["wq"], np.float64)
@@ -53,6 +56,7 @@ def numpy_rollout(params, prompt, n_seq, eof):
     wv = np.asarray(params["layers"][0]["wv"], np.float64)
     D = wte.shape[1]
     tokens = list(prompt)
+    margins = []
     while True:
         L = len(tokens)
         emb = wte[np.asarray(tokens)] + wpe[:L]
@@ -66,9 +70,11 @@ def numpy_rollout(params, prompt, n_seq, eof):
         attn = p @ v
         logits = attn @ wte.T
         tok = int(np.argmax(logits))
+        top2 = np.partition(logits, -2)[-2:]
+        margins.append(float(top2[1] - top2[0]))
         tokens.append(tok)
         if tok == eof or len(tokens) >= n_seq:
-            return tokens
+            return tokens, margins
 
 
 @pytest.fixture(scope="module")
@@ -103,15 +109,26 @@ def test_engine_terminates_and_counts(engine_cls, params, rng):
 def test_dense_engine_matches_numpy_rollout(params, rng):
     store, prompts = make_requests(rng, 12, 16, MODEL.n_vocab, MODEL.eof_token_id)
     run_engine(DenseEngine, params, store)
-    mismatches = 0
+    # fp32 engine vs fp64 oracle: exact agreement is required except at a
+    # step where the oracle's top-2 logit margin is a genuine near-tie
+    # (where fp32 rounding may legitimately flip the argmax, after which
+    # the sequences diverge by construction).
+    TIE_EPS = 1e-4
     for rid, prompt in prompts.items():
-        want = numpy_rollout(params, prompt, MODEL.n_seq, MODEL.eof_token_id)
+        want, margins = numpy_rollout(params, prompt, MODEL.n_seq, MODEL.eof_token_id)
         got = store.finished[rid].tokens
-        if got != want:
-            mismatches += 1
-    # fp32 engine vs fp64 oracle: argmax near-ties may rarely flip; the
-    # engine must track the oracle on virtually all sequences.
-    assert mismatches <= 1, f"{mismatches} sequences diverged from numpy oracle"
+        if got == want:
+            continue
+        # locate the first diverging generated position
+        pl = len(prompt)
+        first = next(
+            i for i in range(max(len(got), len(want)) - pl)
+            if i + pl >= min(len(got), len(want)) or got[pl + i] != want[pl + i]
+        )
+        assert first < len(margins) and margins[first] < TIE_EPS, (
+            f"req {rid} diverged at generated step {first} with top-2 "
+            f"margin {margins[first]:.3e} (not a near-tie)"
+        )
 
 
 def test_dense_vs_paged_token_exact_parity(params, rng):

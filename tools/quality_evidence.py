@@ -1,0 +1,251 @@
+"""Quantization quality evidence (north-star config 4: int8 KV, dPPL <= 0.1).
+
+The reference framework has no tokenizer, dataset, or pretrained weights
+(synthetic random weights throughout, tests/inferencer_test.cpp:21-36), and
+this environment has zero network egress, so REAL GPT-2 checkpoint weights
+are unavailable. Per the stated fallback, this tool produces two pieces of
+evidence and says so honestly in the artifact:
+
+  (a) gpt2-import: a GPT-2-small-geometry model (12L/768D/12H/3072F)
+      initialized with HuggingFace's own init (transformers GPT2LMHeadModel,
+      normal(0.02) + depth-scaled residual projections) and loaded through
+      the real ``import_gpt2_state_dict`` path — this exercises the true HF
+      state-dict layout (Conv1D orientation, fused c_attn split) and a
+      realistic *init* spectrum, but NOT trained-weight outliers.
+  (b) trained-small: a 4L/256D/8H transformer actually TRAINED (optax adam,
+      teacher-forced CE) on a structured synthetic Markov language until the
+      loss is well below the unigram entropy floor. Training produces the
+      non-uniform weight/activation spectra (outliers) that stress int8 KV
+      quantization in a way random init cannot.
+
+Both then run ``delta_ppl_int8_kv``: teacher-forced perplexity through the
+actual paged KV machinery, full-precision vs int8 pages, same sequences.
+
+Usage:  python tools/quality_evidence.py [--out QUALITY_r02.json]
+Writes the JSON artifact with both results; exits nonzero if either
+delta_ppl exceeds the 0.1 bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from min_llm_inference_tpu.config import EngineConfig, ModelConfig
+from min_llm_inference_tpu.models.model import (
+    causal_masked_attention,
+    layer_attn_input,
+    layer_post,
+)
+from min_llm_inference_tpu.models.params import init_params
+from min_llm_inference_tpu.ops.reference import (
+    feed_forward,
+    tied_logits,
+    token_pos_embed,
+)
+from min_llm_inference_tpu.utils.checkpoint import import_gpt2_state_dict
+from min_llm_inference_tpu.utils.quality import delta_ppl_int8_kv
+
+
+# ---------------------------------------------------------------- data
+
+def markov_corpus(rng: np.random.Generator, n_vocab: int, branching: int = 12):
+    """A sparse random Markov language: each token has `branching` likely
+    successors with Zipfian transition mass. Gives sequences real local
+    structure (so a trained model beats the unigram floor by a wide margin)
+    while staying fully synthetic."""
+    succ = np.empty((n_vocab, branching), np.int64)
+    probs = np.empty((n_vocab, branching), np.float64)
+    base = 1.0 / np.arange(1, branching + 1) ** 1.2
+    for t in range(n_vocab):
+        succ[t] = rng.choice(n_vocab, branching, replace=False)
+        p = rng.permutation(base)
+        probs[t] = p / p.sum()
+    return succ, probs
+
+
+def sample_sequences(rng, succ, probs, n_seq, length):
+    n_vocab, branching = succ.shape
+    out = np.empty((n_seq, length), np.int32)
+    for s in range(n_seq):
+        t = int(rng.integers(n_vocab))
+        for i in range(length):
+            out[s, i] = t
+            t = int(succ[t, rng.choice(branching, p=probs[t])])
+    return out
+
+
+def zipf_sequences(rng, n_vocab, n_seq, length):
+    """Zipfian token draws with local repetition (for the untrained
+    gpt2-geometry model, where any input distribution is equally foreign)."""
+    ranks = np.arange(1, n_vocab + 1, dtype=np.float64)
+    p = 1.0 / ranks ** 1.1
+    p /= p.sum()
+    toks = rng.choice(n_vocab, size=(n_seq, length), p=p).astype(np.int32)
+    # splice in short repeats, as natural text has
+    for s in range(n_seq):
+        for _ in range(length // 16):
+            i = int(rng.integers(0, length - 4))
+            j = int(rng.integers(0, length - 4))
+            toks[s, j : j + 3] = toks[s, i : i + 3]
+    return toks
+
+
+# ---------------------------------------------------------------- training
+
+def dense_causal_logits(params, cfg: ModelConfig, tokens):
+    """Teacher-forced forward over full sequences with the SAME layer math
+    the serving engines use (model.py helpers) — dense causal attention."""
+    B, S = tokens.shape
+    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    h = token_pos_embed(tokens, positions, params["wte"], params["wpe"])
+    lengths = jnp.full((B,), S, jnp.int32)
+    for layer in params["layers"]:
+        x = layer_attn_input(layer, cfg, h)
+        q = feed_forward(x, layer["wq"])
+        k = feed_forward(x, layer["wk"])
+        v = feed_forward(x, layer["wv"])
+        attn = causal_masked_attention(q, k, v, lengths, cfg.n_heads)
+        h = layer_post(layer, cfg, h, attn)
+    return tied_logits(h, params["wte"])
+
+
+def train_small_model(seed: int = 0, steps: int = 400, batch: int = 32):
+    import optax
+
+    cfg = ModelConfig(
+        n_vocab=512, emb_dim=256, n_seq=128, n_layers=4, n_heads=8,
+        ffn_dim=1024, use_output_proj=True, use_layernorm=True,
+        eof_token_id=511, dtype="float32",
+    )
+    rng = np.random.default_rng(seed)
+    succ, probs = markov_corpus(rng, cfg.n_vocab)
+    params = init_params(jax.random.PRNGKey(seed), cfg, scale=0.02)
+
+    opt = optax.adam(3e-4)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, tokens):
+        def loss_fn(p):
+            logits = dense_causal_logits(p, cfg, tokens[:, :-1])
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = tokens[:, 1:]
+            nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+            return nll.mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    first = last = None
+    for i in range(steps):
+        tokens = jnp.asarray(
+            sample_sequences(rng, succ, probs, batch, cfg.n_seq)
+        )
+        params, opt_state, loss = step(params, opt_state, tokens)
+        if i == 0:
+            first = float(loss)
+    last = float(loss)
+    # held-out eval sequences from the same language
+    eval_tokens = sample_sequences(rng, succ, probs, 16, cfg.n_seq)
+    return cfg, params, eval_tokens, {"loss_first": first, "loss_last": last}
+
+
+# ---------------------------------------------------------------- gpt2 import
+
+def gpt2_geometry_model(seed: int = 0):
+    """GPT-2-small geometry with HF's own random init, loaded through the
+    real import path. Vocab/positions cut to keep the harness bounded."""
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    V, S = 4096, 256
+    hf_cfg = GPT2Config(
+        vocab_size=V, n_positions=S, n_embd=768, n_layer=12, n_head=12,
+    )
+    torch.manual_seed(seed)
+    hf = GPT2LMHeadModel(hf_cfg)
+    state = {
+        k.removeprefix("transformer."): v.detach().numpy()
+        for k, v in hf.state_dict().items()
+    }
+    cfg = ModelConfig(
+        n_vocab=V, emb_dim=768, n_seq=S, n_layers=12, n_heads=12,
+        ffn_dim=3072, use_output_proj=True, use_layernorm=True,
+        eof_token_id=V - 1, dtype="float32",
+    )
+    params = import_gpt2_state_dict(state, cfg)
+    return cfg, params
+
+
+# ---------------------------------------------------------------- main
+
+def run(out_path: str):
+    results = {
+        "round": 2,
+        "bound": 0.1,
+        "provenance": (
+            "No pretrained GPT-2 checkpoint is reachable (zero-egress "
+            "environment, none vendored on disk). Fallback per VERDICT r1 "
+            "item 5: (a) HF-init GPT-2-small geometry through the real "
+            "import_gpt2_state_dict path; (b) a small transformer trained "
+            "on a structured synthetic Markov language (trained-weight "
+            "spectra). This is weaker than real-weight evidence and is "
+            "labeled as such."
+        ),
+    }
+
+    print("== trained-small: training 4L/256D on Markov language ==")
+    cfg_s, params_s, eval_toks, train_stats = train_small_model()
+    eng_s = EngineConfig(
+        n_slots=eval_toks.shape[0], n_forward_rounds=1, page_size=16,
+        n_pages=eval_toks.shape[0] * (cfg_s.n_seq // 16),
+        init_num_pages=1, max_prefill_batch=eval_toks.shape[0],
+    )
+    lengths = np.full(eval_toks.shape[0], eval_toks.shape[1], np.int32)
+    r_small = delta_ppl_int8_kv(params_s, cfg_s, eng_s, eval_toks, lengths)
+    r_small.update(train_stats)
+    results["trained_small"] = r_small
+    print(json.dumps(r_small, indent=2))
+
+    print("== gpt2-import: HF-init 12L/768D through import path ==")
+    cfg_g, params_g = gpt2_geometry_model()
+    B = 8
+    rng = np.random.default_rng(1)
+    toks_g = zipf_sequences(rng, cfg_g.n_vocab, B, cfg_g.n_seq)
+    eng_g = EngineConfig(
+        n_slots=B, n_forward_rounds=1, page_size=32,
+        n_pages=B * (cfg_g.n_seq // 32), init_num_pages=1,
+        max_prefill_batch=B,
+    )
+    lengths_g = np.full(B, cfg_g.n_seq, np.int32)
+    r_gpt2 = delta_ppl_int8_kv(params_g, cfg_g, eng_g, toks_g, lengths_g)
+    results["gpt2_import"] = r_gpt2
+    print(json.dumps(r_gpt2, indent=2))
+
+    ok = (
+        abs(r_small["delta_ppl"]) <= results["bound"]
+        and abs(r_gpt2["delta_ppl"]) <= results["bound"]
+    )
+    results["pass"] = bool(ok)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"wrote {out_path}; pass={ok}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="QUALITY_r02.json")
+    args = ap.parse_args()
+    sys.exit(run(args.out))
