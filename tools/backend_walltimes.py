@@ -85,11 +85,14 @@ def main():
 
     outputs = {}
     for name, make in ENGINES.items():
-        # warm run (compile) on a small stream, then the timed run
+        # Warm run (compile) at the IDENTICAL request count/prompt mix:
+        # AutonomousEngine's jit shapes depend on request capacity and the
+        # prompt-length bucket, so a smaller warm stream would leave the
+        # timed run paying remote compile (CLAUDE.md: warm with the SAME
+        # array shapes as the timed run).
         for timed in (False, True):
             rng = np.random.default_rng(7)
-            n = args.requests if timed else min(32, args.requests)
-            store = build_store(rng, n, model_cfg)
+            store = build_store(rng, args.requests, model_cfg)
             counter = get_global_throughput_counter()
             counter.reset()
             eng = make(params, model_cfg, engine_cfg)
@@ -112,6 +115,14 @@ def main():
         for other in outputs
     }
     results["token_parity_vs_paged"] = parity
+    # Dense attends over unquantized KV; with kv_dtype=int8 the paged
+    # engines see quantized context, so dense is EXPECTED to diverge here.
+    # The exact dense<->paged parity chain is enforced at fp KV by
+    # tests/test_engine.py / test_parity.py.
+    results["parity_note"] = (
+        "dense uses fp KV; paged backends use kv_dtype=%s — dense parity "
+        "expected only for fp KV" % engine_cfg.kv_dtype
+    )
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {args.out}")
