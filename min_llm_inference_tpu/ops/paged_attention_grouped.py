@@ -120,30 +120,61 @@ def _grouped_kernel(
             buffer_index_ref[0] = nbi
 
         copies = make_copies(g, i, buffer_index)
+        for c_ in copies:
+            c_.wait()
         q_all = q_ref[...].astype(jnp.float32)   # [G*H, dh]
         dh = q_all.shape[-1]
 
-        # per-slot QK^T / PV dots (different K/V per slot), everything else
-        # batched; one wait per slot delivers its K AND V block
-        kv_blocks = [
-            copies[j].wait_and_get_kv(
-                k_scales_ref, v_scales_ref, page_tbl_ref, g * G + j, i * ppcb
-            )
-            for j in range(G)
-        ]
-        qk = jnp.concatenate(
-            [
-                lax.dot_general(
-                    q_all[j * H + h : j * H + h + 1],
-                    kv_blocks[j][0][:, h * dh : (h + 1) * dh],
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        # Dequantization is folded into SCORE columns instead of the KV
+        # blocks: per page, q.(s*K)^T == s*(q.K^T) column-wise and
+        # (w).(s*V) == (w*s).V row-wise, so one f32 multiply per score
+        # element replaces the [bk, D] dequantized K/V copies. This removes
+        # the dominant scoped-VMEM term (f32 dequant buffers held across
+        # the softmax stats) and the per-page [P, D] VPU multiplies —
+        # letting group_size/ppcb (and the per-step DMA batch) grow ~4x.
+        def raw_block(j, side):
+            blk = kv_buf[buffer_index, j, :, side]     # [ppcb, P, D] raw
+            return blk.reshape(bk, dh * H).astype(jnp.float32)
+
+        def scale_rows(scales_ref):
+            # [G, bk] f32: column t of row j carries the scale of the page
+            # holding token i*bk + t of slot g*G+j (SMEM scalar reads)
+            rows = []
+            for j in range(G):
+                parts = [
+                    jnp.full(
+                        (1, page_size),
+                        scales_ref[page_tbl_ref[g * G + j, i * ppcb + p]],
+                        jnp.float32,
+                    )
+                    for p in range(ppcb)
+                ]
+                rows.append(parts[0] if ppcb == 1
+                            else jnp.concatenate(parts, axis=1))
+            mat = jnp.concatenate(rows, axis=0) if G > 1 else rows[0]
+            if H > 1:
+                mat = lax.broadcast_in_dim(
+                    mat, (G, H, bk), (0, 2)
+                ).reshape(G * H, bk)
+            return mat
+
+        # per-slot QK^T dots (different K per slot); conversion temps are
+        # transient per dot, not held across the flash stats
+        qk_rows = []
+        for j in range(G):
+            kb = raw_block(j, 0)
+            for h in range(H):
+                qk_rows.append(
+                    lax.dot_general(
+                        q_all[j * H + h : j * H + h + 1],
+                        kb[:, h * dh : (h + 1) * dh],
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
-                for j in range(G)
-                for h in range(H)
-            ],
-            axis=0,
-        ) * (dh ** -0.5)                          # [G*H, bk]
+        qk = jnp.concatenate(qk_rows, axis=0) * (dh ** -0.5)  # [G*H, bk]
+        if quantized:
+            qk = qk * scale_rows(k_scales_ref)
 
         # batched masking: row r belongs to slot r // H; lengths as a VMEM
         # column, expanded H-fold to match the j-major/h-minor row order
@@ -181,19 +212,20 @@ def _grouped_kernel(
         l_scratch[...] = l_next
         l_safe = jnp.maximum(l_next, jnp.finfo(jnp.float32).tiny)
 
-        o_curr = jnp.concatenate(
-            [
-                lax.dot_general(
-                    s_curr[(j * H + h) : (j * H + h + 1), :],
-                    kv_blocks[j][1][:, h * dh : (h + 1) * dh],
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        s_eff = s_curr * scale_rows(v_scales_ref) if quantized else s_curr
+        o_rows = []
+        for j in range(G):
+            vb = raw_block(j, 1)
+            for h in range(H):
+                o_rows.append(
+                    lax.dot_general(
+                        s_eff[(j * H + h) : (j * H + h + 1), :],
+                        vb[:, h * dh : (h + 1) * dh],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
                 )
-                for j in range(G)
-                for h in range(H)
-            ],
-            axis=0,
-        )                                          # [G*H, dh]
+        o_curr = jnp.concatenate(o_rows, axis=0)   # [G*H, dh]
         o_ref[...] = (
             (l_prev * alpha * o_ref[...] + beta * o_curr) / l_safe
         ).astype(o_ref.dtype)
@@ -201,23 +233,28 @@ def _grouped_kernel(
 
 def _vmem_cost(g, c, page_size, d, kv_bytes):
     """Scoped-VMEM bytes for a (group_size, ppcb) candidate: the
-    double-buffered raw KV block buffer PLUS the live f32 dequantized K/V
-    copies wait_and_get_kv materializes (2 sides x g slots x c*P rows x D
-    x 4B) — the dominant term for int8 pools, and what blows the 16MB
-    scoped-vmem limit if unaccounted."""
+    double-buffered raw KV block buffer plus a margin for the transient
+    f32 convert temps feeding the MXU (a handful of [bk, D] blocks live
+    at a time — dequant scales are folded into the score columns, so no
+    persistent dequantized copies exist)."""
     raw = 2 * g * c * 2 * page_size * d * kv_bytes
-    dequant = 2 * g * c * page_size * d * 4
-    return raw + dequant
+    temps = 4 * c * page_size * d * 4
+    return raw + temps
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024 + 512 * 1024  # headroom under the 16MB scoped limit
+# v5e has 128MB VMEM; the default scoped limit is 16MB but Mosaic accepts
+# an explicit higher vmem_limit_bytes. Big groups batch more page DMAs per
+# grid step, which is the whole point (the decode path is DMA-latency
+# bound, CLAUDE.md), so spend VMEM on in-flight KV blocks.
+_VMEM_BUDGET = 72 * 1024 * 1024
+_VMEM_LIMIT = 112 * 1024 * 1024
 
 
 def _choose_group(b, w, page_size, d, kv_bytes):
     """Pick (group_size, ppcb) maximizing in-flight pages within budget,
     preferring wider groups (more slots batched per grid step)."""
     best = (1, 1)
-    for g in (16, 8, 4, 2, 1):
+    for g in (64, 32, 16, 8, 4, 2, 1):
         if b % g:
             continue
         for c in range(w, 0, -1):
@@ -306,6 +343,7 @@ def paged_decode_attention_grouped(
         out_shape=jax.ShapeDtypeStruct((B * n_heads, dh), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT,
         ),
         interpret=interpret,
     )(

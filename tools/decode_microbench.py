@@ -182,7 +182,8 @@ def main():
             qkv = feed_forward(h, wqkv)
             attn = qkv[:, :D]  # stand-in for attention output
             logits = tied_logits(attn, wte)
-            return greedy_next_token(logits, lengths_d, S, V - 1)
+            # chain on the token array only (greedy returns (tok, lens))
+            return greedy_next_token(logits, lengths_d, S, V - 1)[0]
 
         t = chain_time(proj_logits, jnp.asarray(last_tokens))
         print(f"embed+qkv+logits : {t*1e3:7.3f} ms", flush=True)
