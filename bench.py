@@ -98,7 +98,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv-dtype", default="int8")
     ap.add_argument("--repeats", type=int, default=2)
-    ap.add_argument("--attention", default="pallas",
+    ap.add_argument("--attention", default="grouped",
                     choices=["jnp", "pallas", "grouped"])
     ap.add_argument("--max-prefill-batch", type=int, default=128)
     ap.add_argument("--no-warmup", action="store_true")
