@@ -35,7 +35,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .paged_attention import MASK_VALUE, _PageBlockCopy
+from .paged_attention import MASK_VALUE
 
 
 def _group_max_len(lengths_ref, g, group_size):
@@ -72,14 +72,43 @@ def _grouped_kernel(
     H = n_heads
     gmax = _group_max_len(lengths_ref, g, G)
 
+    # Per-slot length gating: a slot's pages are DMA'd only while inside
+    # ITS OWN length — short and dead slots in a live group fetch nothing
+    # beyond their context (group-max gating alone streams every slot out
+    # to the longest member). int8 pools gate per PAGE (exact bytes: any
+    # stale buffer bits are finite int8, and masked columns are dropped by
+    # select); float pools gate per BLOCK — an active row's whole block is
+    # fetched so its masked columns never read unfetched (possibly NaN)
+    # bytes, which would poison the 0-weight PV dot.
+    page_exact = kv_buf.dtype == jnp.int8
+
     def make_copies(g_, i_, buf_idx):
-        return [
-            _PageBlockCopy(
-                pages_hbm, kv_buf.at[buf_idx, j], kv_sem.at[buf_idx],
-                page_tbl_ref, g_ * G + j, i_ * ppcb, ppcb,
-            )
-            for j in range(G)
-        ]
+        # the same predicate gates start and wait, so semaphore counts
+        # always match
+        items = []
+        for j in range(G):
+            slot = g_ * G + j
+            ln = lengths_ref[slot]
+            for p in range(ppcb):
+                tok0 = (i_ * ppcb + (p if page_exact else 0)) * page_size
+                items.append((tok0 < ln, pltpu.make_async_copy(
+                    pages_hbm.at[page_tbl_ref[slot, i_ * ppcb + p]],
+                    kv_buf.at[buf_idx, j, p],
+                    kv_sem.at[buf_idx],
+                )))
+        return items
+
+    def start_copies(items):
+        for cond, c in items:
+            @pl.when(cond)
+            def _():
+                c.start()
+
+    def wait_copies(items):
+        for cond, c in items:
+            @pl.when(cond)
+            def _():
+                c.wait()
 
     def next_compute_block(g_, i_):
         def advance_g():
@@ -109,19 +138,15 @@ def _grouped_kernel(
 
         @pl.when(init_flag == 1)
         def prefetch_first():
-            for c in make_copies(g, i, buffer_index):
-                c.start()
+            start_copies(make_copies(g, i, buffer_index))
 
         @pl.when(next_g < num_groups)
         def prefetch_next():
             nbi = jnp.where(buffer_index == 0, 1, 0)
-            for c in make_copies(next_g, next_i, nbi):
-                c.start()
+            start_copies(make_copies(next_g, next_i, nbi))
             buffer_index_ref[0] = nbi
 
-        copies = make_copies(g, i, buffer_index)
-        for c_ in copies:
-            c_.wait()
+        wait_copies(make_copies(g, i, buffer_index))
         q_all = q_ref[...].astype(jnp.float32)   # [G*H, dh]
         dh = q_all.shape[-1]
 
@@ -188,13 +213,21 @@ def _grouped_kernel(
             ).reshape(G * H, 1)
         col = i * bk + lax.broadcasted_iota(jnp.int32, (G * H, bk), 1)
         mask = col < row_len
-        qk = qk + jnp.where(mask, 0.0, mask_value)
+        # select, not add: columns past a slot's length may come from pages
+        # the gated DMA never fetched (stale/NaN bytes) — adding mask_value
+        # to NaN stays NaN and would poison the row max
+        qk = jnp.where(mask, qk, mask_value)
         active = (i * bk < row_len).astype(jnp.float32)  # [G*H, 1]
 
         m_prev = m_scratch[...]
         l_prev = l_scratch[...]
         m_curr_col = jnp.max(qk, axis=-1, keepdims=True)      # [G*H, 1]
-        s_curr = jnp.exp(qk - m_curr_col) * active            # [G*H, bk]
+        # where-guard (not a multiply): inactive rows' blocks were never
+        # DMA'd, so qk may be built from arbitrary stale bytes — 0 * NaN
+        # would still poison the statistics
+        s_curr = jnp.where(
+            active > 0, jnp.exp(qk - m_curr_col), 0.0
+        )                                                     # [G*H, bk]
         l_curr = lax.broadcast_in_dim(
             jnp.sum(s_curr, axis=-1), l_prev.shape, (0,)
         )
@@ -225,7 +258,11 @@ def _grouped_kernel(
                         preferred_element_type=jnp.float32,
                     )
                 )
-        o_curr = jnp.concatenate(o_rows, axis=0)   # [G*H, dh]
+        # same stale-bytes guard: s_eff rows are zero for inactive rows but
+        # 0-dot-NaN is NaN, so mask the product rows explicitly
+        o_curr = jnp.where(
+            active > 0, jnp.concatenate(o_rows, axis=0), 0.0
+        )                                          # [G*H, dh]
         o_ref[...] = (
             (l_prev * alpha * o_ref[...] + beta * o_curr) / l_safe
         ).astype(o_ref.dtype)
