@@ -279,15 +279,92 @@ def make_attend_impl(model_cfg: ModelConfig, engine_cfg: EngineConfig,
         def attend(pool, ks, vs, q, lens):
             return kernel(
                 q, pool, lens, page_table, k_scales=ks, v_scales=vs,
-                n_heads=model_cfg.n_heads, interpret=interpret,
+                n_heads=n_heads, interpret=interpret,
             ).astype(q.dtype)
     else:
         def attend(pool, ks, vs, q, lens):
             return jnp_paged_attend(
-                pool, ks, vs, q, lens, page_table, P, model_cfg.n_heads
+                pool, ks, vs, q, lens, page_table, P, n_heads
             )
 
     return attend
+
+
+def make_round_kv_callbacks(
+    model_cfg: ModelConfig,
+    engine_cfg: EngineConfig,
+    attention_impl: str,
+    page_table,
+    kv_pages: list,
+    k_scales: list,
+    v_scales: list,
+    lengths,
+    n_heads=None,
+    scale_reduce=None,
+):
+    """Build the (write_kv, attend) pair for ONE decode round, mutating the
+    per-layer kv_pages/k_scales/v_scales lists in place.
+
+    For the grouped Pallas kernel the decode KV write is FUSED into the
+    attention call: write_kv only pre-updates fresh pages' scales (tiny
+    scalar scatter) and stashes the raw K/V rows; attend hands them to the
+    kernel, which quantizes + inserts the row into the already-fetched page
+    and writes the page back to the aliased pool — eliminating the XLA
+    per-row scatter (~0.39 ms/round fixed cost at bench shapes). Other
+    impls keep the scatter-then-attend path. Both are token-exact equal
+    (tests/test_paged_attention_kernel.py fused-write cases)."""
+    P = engine_cfg.page_size
+    NP = engine_cfg.n_pages
+    heads = n_heads or model_cfg.n_heads
+    live = lengths > 0
+    pos = jnp.maximum(lengths - 1, 0)
+    fresh_pid = decode_fresh_pid(page_table, pos, live, P, NP)
+
+    if attention_impl == "grouped":
+        from ..ops.paged_attention_grouped import (
+            paged_decode_attention_grouped,
+        )
+        from ..ops.quant import update_page_scales
+
+        interpret = jax.default_backend() == "cpu"
+        pending = {}
+
+        def write_kv(li, pos_, k, v, live_):
+            if k_scales[li] is not None:
+                k_scales[li] = update_page_scales(
+                    k_scales[li], k, fresh_pid, scale_reduce
+                )
+                v_scales[li] = update_page_scales(
+                    v_scales[li], v, fresh_pid, scale_reduce
+                )
+            pending[li] = (k, v)
+
+        def attend(li, q, lens):
+            k, v = pending.pop(li)
+            out, kv_pages[li] = paged_decode_attention_grouped(
+                q, kv_pages[li], lens, page_table,
+                k_scales[li], v_scales[li], k, v,
+                n_heads=heads, interpret=interpret,
+            )
+            return out.astype(q.dtype)
+
+        return write_kv, attend
+
+    flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
+    attend_impl = make_attend_impl(
+        model_cfg, engine_cfg, attention_impl, page_table, n_heads=n_heads
+    )
+
+    def write_kv(li, pos_, k, v, live_):
+        kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
+            kv_pages[li], k_scales[li], v_scales[li],
+            flat_idx, k, v, fresh_pid, scale_reduce,
+        )
+
+    def attend(li, q, lens):
+        return attend_impl(kv_pages[li], k_scales[li], v_scales[li], q, lens)
+
+    return write_kv, attend
 
 
 def _decode_rounds(
@@ -309,10 +386,6 @@ def _decode_rounds(
     lengths = jnp.where(upd >= 0, upd, lengths)
     last_tokens = jnp.where(upd >= 0, sched_packed[:, 1], last_tokens)
     page_table = sched_packed[:, 2:]
-    attend_impl = make_attend_impl(
-        model_cfg, engine_cfg, attention_impl, page_table,
-        n_heads=ctx.local_heads(model_cfg),
-    )
     scale_reduce = ctx.pmax if ctx.tp > 1 else None
 
     def round_fn(carry, _):
@@ -320,20 +393,11 @@ def _decode_rounds(
         kv_pages = list(kv_pages)
         k_scales, v_scales = list(k_scales), list(v_scales)
         live = lengths > 0
-        pos = jnp.maximum(lengths - 1, 0)
-        flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
-        fresh_pid = decode_fresh_pid(page_table, pos, live, P, NP)
-
-        def write_kv(li, pos_, k, v, live_):
-            kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
-                kv_pages[li], k_scales[li], v_scales[li],
-                flat_idx, k, v, fresh_pid, scale_reduce,
-            )
-
-        def attend(li, q, lens):
-            return attend_impl(
-                kv_pages[li], k_scales[li], v_scales[li], q, lens
-            )
+        write_kv, attend = make_round_kv_callbacks(
+            model_cfg, engine_cfg, attention_impl, page_table,
+            kv_pages, k_scales, v_scales, lengths,
+            n_heads=ctx.local_heads(model_cfg), scale_reduce=scale_reduce,
+        )
 
         tok, new_lengths = decode_round_tokens(
             params, model_cfg, lengths, last, write_kv, attend, ctx

@@ -43,11 +43,9 @@ from ..utils.profiling import phase
 from ..models.paged import (
     PagedKVState,
     _flat_scatter_indices,
-    _write_kv_tokens,
-    decode_fresh_pid,
     init_paged_state,
-    make_attend_impl,
     make_prefill_kv_writer,
+    make_round_kv_callbacks,
     prefill_fresh_pid,
 )
 from .item_storage import ItemStorage, Request
@@ -173,29 +171,15 @@ def _autonomous_burst(
     kv = jax.lax.cond(m > 0, do_prefill, lambda kv: kv, kv)
 
     # ---- 4. decode rounds + on-device result accumulation ----
-    attend_impl = make_attend_impl(
-        model_cfg, engine_cfg, attention_impl, page_table
-    )
-
     def round_fn(carry, _):
         kv, lengths, last, out_tokens, final_lens = carry
         kv_pages = list(kv.kv_pages)
         k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
         live = lengths > 0
-        pos = jnp.maximum(lengths - 1, 0)
-        flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
-        fresh_pid = decode_fresh_pid(page_table, pos, live, P, NP)
-
-        def write_kv(li, pos_, k, v, live_):
-            kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
-                kv_pages[li], k_scales[li], v_scales[li],
-                flat_idx, k, v, fresh_pid,
-            )
-
-        def attend(li, q, lens):
-            return attend_impl(
-                kv_pages[li], k_scales[li], v_scales[li], q, lens
-            )
+        write_kv, attend = make_round_kv_callbacks(
+            model_cfg, engine_cfg, attention_impl, page_table,
+            kv_pages, k_scales, v_scales, lengths,
+        )
 
         tok, new_lengths = decode_round_tokens(
             params, model_cfg, lengths, last, write_kv, attend

@@ -177,3 +177,87 @@ def test_grouped_matches_ungrouped_int8():
         )
     )
     np.testing.assert_allclose(grp, one, rtol=2e-5, atol=2e-5)
+
+
+# ---- fused decode KV write (write+attend in one kernel pass) --------------
+
+
+def _fused_write_case(rng, B, W, P, D, H, G, kv_dtype):
+    """Compare the fused write+attend kernel against the two-step reference
+    path (XLA quantize+scatter via _write_kv_tokens, then the non-fused
+    grouped kernel). Both the attention outputs and the resulting pools
+    must match exactly."""
+    from min_llm_inference_tpu.models.paged import (
+        _flat_scatter_indices,
+        _write_kv_tokens,
+        decode_fresh_pid,
+    )
+    from min_llm_inference_tpu.ops.quant import update_page_scales
+
+    NP = B * W + 3
+    quantized = kv_dtype == "int8"
+    if quantized:
+        pool = rng.integers(-127, 128, (NP, 2, P, D)).astype(np.int8)
+        ks = (rng.random(NP) * 0.05 + 0.001).astype(np.float32)
+        vs = (rng.random(NP) * 0.05 + 0.001).astype(np.float32)
+    else:
+        pool = rng.standard_normal((NP, 2, P, D)).astype(np.float32)
+        ks = vs = None
+    table = rng.permutation(NP)[: B * W].reshape(B, W).astype(np.int32)
+    # lengths INCLUDE the token being written at pos = len-1; cover dead,
+    # fresh-page row 0 (len-1 % P == 0), mid-page, page-final rows
+    lengths = np.zeros(B, np.int32)
+    picks = [0, 1, P, P + 1, 2 * P - 1, 2 * P, W * P, 5]
+    for b in range(B):
+        lengths[b] = picks[b % len(picks)]
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    k_new = rng.standard_normal((B, D)).astype(np.float32)
+    v_new = rng.standard_normal((B, D)).astype(np.float32)
+
+    jl = jnp.asarray(lengths)
+    live = jl > 0
+    pos = jnp.maximum(jl - 1, 0)
+    jt = jnp.asarray(table)
+    flat_idx = _flat_scatter_indices(jt, pos, live, P, NP)
+    fresh = decode_fresh_pid(jt, pos, live, P, NP)
+
+    # reference path: scatter first, attend second
+    pool_a, ks_a, vs_a = _write_kv_tokens(
+        jnp.asarray(pool), None if ks is None else jnp.asarray(ks),
+        None if vs is None else jnp.asarray(vs),
+        flat_idx, jnp.asarray(k_new), jnp.asarray(v_new), fresh,
+    )
+    out_a = paged_decode_attention_grouped(
+        jnp.asarray(q), pool_a, jl, jt, ks_a, vs_a,
+        n_heads=H, group_size=G, interpret=True,
+    )
+
+    # fused path: scales pre-updated outside, write happens in-kernel
+    if quantized:
+        ks_b = update_page_scales(jnp.asarray(ks), jnp.asarray(k_new), fresh)
+        vs_b = update_page_scales(jnp.asarray(vs), jnp.asarray(v_new), fresh)
+        np.testing.assert_array_equal(np.asarray(ks_b), np.asarray(ks_a))
+    else:
+        ks_b = vs_b = None
+    out_b, pool_b = paged_decode_attention_grouped(
+        jnp.asarray(q), jnp.asarray(pool), jl, jt, ks_b, vs_b,
+        jnp.asarray(k_new), jnp.asarray(v_new),
+        n_heads=H, group_size=G, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_a), rtol=2e-5, atol=2e-5
+    )
+    np.testing.assert_array_equal(np.asarray(pool_b), np.asarray(pool_a))
+
+
+@pytest.mark.parametrize("kv_dtype", ["int8", "float32"])
+def test_grouped_fused_write_matches_scatter_path(kv_dtype):
+    rng = np.random.default_rng(51)
+    _fused_write_case(rng, B=16, W=4, P=8, D=128, H=1, G=8, kv_dtype=kv_dtype)
+
+
+def test_grouped_fused_write_multihead_multiblock():
+    rng = np.random.default_rng(52)
+    _fused_write_case(
+        rng, B=8, W=8, P=8, D=256, H=2, G=4, kv_dtype="int8"
+    )
