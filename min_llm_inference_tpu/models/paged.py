@@ -168,9 +168,11 @@ def combine_kv_pools(k_pages, v_pages):
 
 def make_prefill_kv_writer(
     state: PagedKVState,
-    flat_idx,     # [M*S] token scatter indices (OOB = drop)
-    fresh_pid,    # [M*F] page ids whose row 0 is written (OOB = none)
+    page_rows,        # [M, W] page-table rows of the new slots
+    prompt_lengths,   # [M] int32 (0 = inert padding row)
+    s_pre: int,       # prompt-block width (prompts.shape[1])
     page_size: int,
+    n_pages: int,
     scale_reduce=None,
 ):
     """Build the write_kv_block callback for prefill_write_kv over this
@@ -178,34 +180,106 @@ def make_prefill_kv_writer(
     fresh rows are the STATIC stride-P slices of the block — the per-page
     scale needs absmax over M*ceil(S/P) rows, not all M*S rows.
 
+    When the block width is a page multiple the write is PAGE-granular:
+    each covered page lands as one [P, D] window scatter instead of P
+    row-indexed scatters (measured 7.8 ms -> sub-ms for the bench's
+    [256, 64] int8 block — XLA's scatter cost is per *index*, so moving
+    64x more bytes per index wins; the same economics as the reference's
+    coalesced prefill stores, self_attention_inference_optimized.cu:27-85).
+    Rows past prompt_length inside a covered page carry garbage — every
+    consumer masks by length, and decode appends overwrite them in turn.
+
     Returns (write_kv_block, finalize) where finalize() -> new PagedKVState.
     """
     kv_pages = list(state.kv_pages)
     k_scales = list(state.k_scales)
     v_scales = list(state.v_scales)
+    P = page_size
+    M = page_rows.shape[0]
+    fresh_pid = prefill_fresh_pid(page_rows, prompt_lengths, s_pre, P, n_pages)
+    paged_write = s_pre % P == 0
+    if paged_write:
+        W_pre = s_pre // P
+        covered = (
+            jnp.arange(W_pre, dtype=jnp.int32)[None, :] * P
+            < prompt_lengths[:, None]
+        )  # [M, W_pre]
+        pid = jnp.where(covered, page_rows[:, :W_pre], n_pages)
+        # flat [(NP*2), P, D] window index: page p side s -> p*2 + s
+        k_win = jnp.where(covered, pid * 2, 2 * n_pages).reshape(-1)
+        v_win = jnp.where(covered, pid * 2 + 1, 2 * n_pages).reshape(-1)
+        safe_pid = jnp.clip(pid, 0, n_pages - 1)
+    else:
+        positions = jnp.broadcast_to(
+            jnp.arange(s_pre, dtype=jnp.int32)[None, :], (M, s_pre)
+        )
+        valid = positions < prompt_lengths[:, None]
+        rows3 = jnp.broadcast_to(
+            page_rows[:, None, :], (M, s_pre, page_rows.shape[1])
+        )
+        flat_idx = _flat_scatter_indices(
+            rows3, positions, valid, P, n_pages
+        ).reshape(-1)
+
+    def scatter_pages(pool, k, v):
+        # k/v: [M, S, D] already pool-dtype; one [P, D]-window scatter per
+        # covered page per side
+        D = k.shape[-1]
+        flat = pool.reshape(n_pages * 2, P, D)
+        vals = jnp.concatenate(
+            [k.reshape(-1, P, D), v.reshape(-1, P, D)]
+        ).astype(pool.dtype)
+        idx = jnp.concatenate([k_win, v_win])
+        return flat.at[idx].set(vals, mode="drop").reshape(pool.shape)
 
     def write_kv_block(li, k, v):
         # k/v: [M, S, D]
         D = k.shape[-1]
-        kf, vf = k.reshape(-1, D), v.reshape(-1, D)
         if k_scales[li] is None:
-            kv_pages[li] = _scatter_kv(kv_pages[li], flat_idx, kf, vf)
+            if paged_write:
+                kv_pages[li] = scatter_pages(kv_pages[li], k, v)
+            else:
+                kv_pages[li] = _scatter_kv(
+                    kv_pages[li], flat_idx, k.reshape(-1, D), v.reshape(-1, D)
+                )
             return
-        P = page_size
         k_scales[li] = update_page_scales(
             k_scales[li], k[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
         )
         v_scales[li] = update_page_scales(
             v_scales[li], v[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
         )
-        qk = quantize_rows_against_pages(kf, flat_idx, k_scales[li], P)
-        qv = quantize_rows_against_pages(vf, flat_idx, v_scales[li], P)
-        kv_pages[li] = _scatter_kv(kv_pages[li], flat_idx, qk, qv)
+        if paged_write:
+            qk = _quantize_block_per_page(k, k_scales[li], safe_pid, P)
+            qv = _quantize_block_per_page(v, v_scales[li], safe_pid, P)
+            kv_pages[li] = scatter_pages(kv_pages[li], qk, qv)
+        else:
+            qk = quantize_rows_against_pages(
+                k.reshape(-1, D), flat_idx, k_scales[li], P
+            )
+            qv = quantize_rows_against_pages(
+                v.reshape(-1, D), flat_idx, v_scales[li], P
+            )
+            kv_pages[li] = _scatter_kv(kv_pages[li], flat_idx, qk, qv)
 
     def finalize() -> PagedKVState:
         return PagedKVState(tuple(kv_pages), tuple(k_scales), tuple(v_scales))
 
     return write_kv_block, finalize
+
+
+def _quantize_block_per_page(x, page_scales, safe_pid, page_size):
+    """Quantize a [M, W_pre*P, D] prefill block against per-page scales
+    gathered at safe_pid [M, W_pre]."""
+    M, S, D = x.shape
+    W_pre = S // page_size
+    s = page_scales[safe_pid]  # [M, W_pre]
+    inv = jnp.where(s > 0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+    xf = x.reshape(M, W_pre, page_size, D).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(xf * inv[:, :, None, None]), -127.0, 127.0
+    ).astype(jnp.int8)
+    return q.reshape(M, S, D)
 
 
 def prefill_fresh_pid(page_rows, prompt_lengths, s_pre, page_size, n_pages):
@@ -231,15 +305,9 @@ def _prefill(
     P = engine_cfg.page_size
     NP = engine_cfg.n_pages
     M, S = prompts.shape
-    positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (M, S))
-    valid = positions < prompt_lengths[:, None]
-    rows3 = jnp.broadcast_to(page_rows[:, None, :], (M, S, page_rows.shape[1]))
-    flat_idx = _flat_scatter_indices(rows3, positions, valid, P, NP).reshape(-1)
-    fresh_pid = prefill_fresh_pid(page_rows, prompt_lengths, S, P, NP)
-
     scale_reduce = ctx.pmax if ctx.tp > 1 else None
     write_kv_block, finalize = make_prefill_kv_writer(
-        state, flat_idx, fresh_pid, P, scale_reduce
+        state, page_rows, prompt_lengths, S, P, NP, scale_reduce
     )
     prefill_write_kv(
         params, model_cfg, prompts, prompt_lengths, write_kv_block, ctx

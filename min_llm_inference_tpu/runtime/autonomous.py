@@ -42,11 +42,9 @@ from ..models.model import decode_round_tokens, prefill_write_kv
 from ..utils.profiling import phase
 from ..models.paged import (
     PagedKVState,
-    _flat_scatter_indices,
     init_paged_state,
     make_prefill_kv_writer,
     make_round_kv_callbacks,
-    prefill_fresh_pid,
 )
 from .item_storage import ItemStorage, Request
 
@@ -155,15 +153,8 @@ def _autonomous_burst(
     kv = st.kv
 
     def do_prefill(kv):
-        positions = jnp.broadcast_to(
-            jnp.arange(S_pre, dtype=jnp.int32)[None, :], (max_new, S_pre)
-        )
-        valid = positions < plens[:, None]
-        rows3 = jnp.broadcast_to(granted[:, None, :], (max_new, S_pre, W))
-        flat_idx = _flat_scatter_indices(rows3, positions, valid, P, NP).reshape(-1)
-        fresh = prefill_fresh_pid(granted, plens, S_pre, P, NP)
         write_kv_block, finalize = make_prefill_kv_writer(
-            kv, flat_idx, fresh, P
+            kv, granted, plens, S_pre, P, NP
         )
         prefill_write_kv(params, model_cfg, prompts, plens, write_kv_block)
         return finalize()

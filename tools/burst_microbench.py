@@ -40,7 +40,9 @@ def main():
     ap.add_argument("--live", default="1024",
                     help="comma-separated live-slot counts; one compile "
                     "serves all (shapes are identical)")
-    ap.add_argument("--len", type=int, default=32, dest="ctx_len")
+    ap.add_argument("--len", default="32", dest="ctx_len",
+                    help="comma-separated context lengths (one compile "
+                    "serves all)")
     ap.add_argument("--attention", default="grouped")
     ap.add_argument("--rounds", type=int, default=16)
     ap.add_argument("--queue-open", action="store_true",
@@ -58,24 +60,26 @@ def main():
     rng = np.random.default_rng(0)
     params = fuse_qkv_params(init_params(jax.random.PRNGKey(0), model))
 
+    ctx_lens = [int(x) for x in str(args.ctx_len).split(",")]
     # a slot dies when its length hits n_seq: every timed burst must keep
     # all `live` slots alive (queue drained -> dead slots stay dead and we
     # would silently time the noop path)
     # (each run() below starts from a fresh state at ctx_len)
-    max_bursts = (S - 1 - args.ctx_len) // args.rounds
-    assert args.n_big <= max_bursts, (
-        f"{args.n_big} bursts x {args.rounds} rounds from len="
-        f"{args.ctx_len} overruns n_seq={S}; lower --n-big/--len"
-    )
+    for cl in ctx_lens:
+        max_bursts = (S - 1 - cl) // args.rounds
+        assert args.n_big <= max_bursts, (
+            f"{args.n_big} bursts x {args.rounds} rounds from len="
+            f"{cl} overruns n_seq={S}; lower --n-big/--len"
+        )
 
     n_req = 2048
     st0 = init_auto_state(model, cfg, n_req)
     W = cfg.pages_per_slot(S)
 
-    def build_state(live: int):
+    def build_state(live: int, ctx_len: int):
         # `live` slots mid-sequence, pages granted in order
         lengths = np.zeros(B, np.int32)
-        lengths[:live] = args.ctx_len
+        lengths[:live] = ctx_len
         table = np.arange(B * W, dtype=np.int32).reshape(B, W)
         return st0._replace(
             lengths=jnp.asarray(lengths),
@@ -109,21 +113,22 @@ def main():
         # burst donates st: rebuild a fresh copy outside the timed region
         return jax.tree_util.tree_map(jnp.array, template)
 
-    print(f"B={B} len={args.ctx_len} attn={args.attention} "
-          f"rounds={args.rounds} "
+    print(f"B={B} attn={args.attention} rounds={args.rounds} "
           f"queue={'open' if args.queue_open else 'drained'}", flush=True)
     lives = [int(x) for x in str(args.live).split(",")]
-    template = build_state(lives[0])
+    template = build_state(lives[0], ctx_lens[0])
     run(2, fresh(template))  # compile + warm (one executable serves all)
-    for live in lives:
-        template = build_state(live)
-        t_small, _ = run(args.n_small, fresh(template))
-        t_big, st_end = run(args.n_big, fresh(template))
-        n_live_end = int(np.asarray(jnp.sum(st_end.lengths > 0)))
-        per_burst = (t_big - t_small) / (args.n_big - args.n_small)
-        print(f"live={live:5d}  per-burst: {per_burst*1e3:8.3f} ms   "
-              f"per-round: {per_burst/args.rounds*1e3:7.3f} ms   "
-              f"(live at end: {n_live_end})", flush=True)
+    for ctx_len in ctx_lens:
+        for live in lives:
+            template = build_state(live, ctx_len)
+            t_small, _ = run(args.n_small, fresh(template))
+            t_big, st_end = run(args.n_big, fresh(template))
+            n_live_end = int(np.asarray(jnp.sum(st_end.lengths > 0)))
+            per_burst = (t_big - t_small) / (args.n_big - args.n_small)
+            print(f"len={ctx_len:4d} live={live:5d}  "
+                  f"per-burst: {per_burst*1e3:8.3f} ms   "
+                  f"per-round: {per_burst/args.rounds*1e3:7.3f} ms   "
+                  f"(live at end: {n_live_end})", flush=True)
 
 
 if __name__ == "__main__":

@@ -188,6 +188,56 @@ def main():
         t = chain_time(proj_logits, jnp.asarray(last_tokens))
         print(f"embed+qkv+logits : {t*1e3:7.3f} ms", flush=True)
 
+    # ---- fine-grained: embed strategies, out-token scatter, matmuls ----
+    if "micro" not in skip:
+        pos0 = jnp.maximum(lengths_d - 1, 0)
+
+        @jax.jit
+        def embed_gather(last):
+            h = wte[jnp.clip(last, 0, V - 1)] + wpe[jnp.clip(pos0, 0, S - 1)]
+            return (last + h[:, 0].astype(jnp.int32)) % V
+
+        @jax.jit
+        def embed_onehot(last):
+            oh_t = (last[:, None] == jnp.arange(V)[None, :]).astype(dt)
+            oh_p = (pos0[:, None] == jnp.arange(S)[None, :]).astype(dt)
+            h = (
+                jnp.dot(oh_t, wte, preferred_element_type=jnp.float32).astype(dt)
+                + jnp.dot(oh_p, wpe, preferred_element_type=jnp.float32).astype(dt)
+            )
+            return (last + h[:, 0].astype(jnp.int32)) % V
+
+        R_total = 2048
+        out0 = jnp.zeros((R_total * S,), jnp.int32)
+        rid = jnp.asarray(rng.integers(0, R_total, B), jnp.int32)
+
+        @jax.jit
+        def out_scatter(out):
+            tok = out[:B].astype(jnp.int32) % V
+            idx = jnp.where(lengths_d > 0, rid * S + lengths_d, R_total * S)
+            return out.at[idx].set(tok, mode="drop")
+
+        @jax.jit
+        def qkv_only(x):
+            y = feed_forward(x, wqkv)
+            return y[:, :D]
+
+        @jax.jit
+        def logits_argmax(x):
+            logits = tied_logits(x, wte)
+            t = greedy_next_token(logits, lengths_d, S, V - 1)[0]
+            return x + (t[:, None] % 3).astype(dt)
+
+        for name, fn, first in (
+            ("embed gather    ", embed_gather, jnp.asarray(last_tokens)),
+            ("embed one-hot   ", embed_onehot, jnp.asarray(last_tokens)),
+            ("out-tok scatter ", out_scatter, out0),
+            ("wqkv matmul     ", qkv_only, q0),
+            ("logits+argmax   ", logits_argmax, q0),
+        ):
+            t = chain_time(fn, first)
+            print(f"{name}: {t*1e3:7.3f} ms", flush=True)
+
     # roofline context
     peak_hbm = 819e9  # v5e
     print(f"ctx-read roofline: {exact_bytes/peak_hbm*1e3:7.3f} ms "
