@@ -162,8 +162,15 @@ def _autonomous_burst(
     kv = jax.lax.cond(m > 0, do_prefill, lambda kv: kv, kv)
 
     # ---- 4. decode rounds + on-device result accumulation ----
+    # Per-round results are collected as DENSE scan outputs and scattered
+    # into the output buffers ONCE per burst: XLA scatter cost is dominated
+    # by a per-call fixed term, so one [R*B]-index scatter beats
+    # n_forward_rounds separate [B]-index scatters (same economics as the
+    # page-granular prefill write).
+    R = engine_cfg.n_forward_rounds
+
     def round_fn(carry, _):
-        kv, lengths, last, out_tokens, final_lens = carry
+        kv, lengths, last = carry
         kv_pages = list(kv.kv_pages)
         k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
         live = lengths > 0
@@ -177,25 +184,28 @@ def _autonomous_burst(
         )
         # emitted token's position in its sequence = old length
         out_idx = jnp.where(live, rid * S + lengths, R_total * S)
-        out_tokens = (
-            out_tokens.reshape(-1).at[out_idx].set(tok, mode="drop")
-            .reshape(R_total, S)
-        )
         finished = live & (new_lengths == 0)
-        final_lens = final_lens.at[
-            jnp.where(finished, rid, R_total)
-        ].set(lengths + 1, mode="drop")
+        fin_rid = jnp.where(finished, rid, R_total)
         new_last = jnp.where(live, tok, last)
         kv = PagedKVState(
             tuple(kv_pages), tuple(k_scales), tuple(v_scales)
         )
-        return (kv, new_lengths, new_last, out_tokens, final_lens), None
+        return (kv, new_lengths, new_last), (tok, out_idx, fin_rid, lengths + 1)
 
     def run_rounds(carry):
-        out, _ = jax.lax.scan(
-            round_fn, carry, None, length=engine_cfg.n_forward_rounds
+        (kv, lengths, last, out_tokens, final_lens) = carry
+        (kv, lengths, last), (toks, out_idx, fin_rid, fin_len) = jax.lax.scan(
+            round_fn, (kv, lengths, last), None, length=R
         )
-        return out
+        out_tokens = (
+            out_tokens.reshape(-1)
+            .at[out_idx.reshape(-1)].set(toks.reshape(-1), mode="drop")
+            .reshape(R_total, S)
+        )
+        final_lens = final_lens.at[fin_rid.reshape(-1)].set(
+            fin_len.reshape(-1), mode="drop"
+        )
+        return (kv, lengths, last, out_tokens, final_lens)
 
     # chunked dispatch overshoots past completion by up to chunk-1 bursts;
     # skip the whole decode scan when no slot is live so those cost ~nothing
