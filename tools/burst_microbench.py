@@ -89,9 +89,9 @@ def main():
             allocated=jnp.asarray(lengths > 0),
             queue_head=jnp.asarray(
                 n_req if not args.queue_open else 0, jnp.int32),
-            free_top=jnp.asarray(NP - B * W, jnp.int32),
+            free_top=jnp.asarray(NP // W - B, jnp.int32),
             page_stack=jnp.asarray(
-                np.concatenate([np.arange(B * W, NP), np.zeros(B * W)]
+                np.concatenate([np.arange(B, NP // W), np.zeros(B)]
                                ).astype(np.int32)),
         )
 
