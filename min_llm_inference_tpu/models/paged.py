@@ -250,9 +250,28 @@ def make_prefill_kv_writer(
             v_scales[li], v[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
         )
         if paged_write:
-            qk = _quantize_block_per_page(k, k_scales[li], safe_pid, P)
-            qv = _quantize_block_per_page(v, v_scales[li], safe_pid, P)
-            kv_pages[li] = scatter_pages(kv_pages[li], qk, qv)
+            interpret = jax.default_backend() == "cpu"
+            if interpret or (P % 32 == 0 and D % 128 == 0):
+                # fused Pallas quantize+page-scatter: one pass over the
+                # block instead of quantize-materialize + window scatter
+                # (hardware path needs full int8 tiles per page)
+                from ..ops.prefill_scatter import prefill_quant_scatter
+
+                def inv(s):
+                    sp = s[safe_pid]
+                    return jnp.where(
+                        sp > 0, 1.0 / jnp.maximum(sp, 1e-30), 0.0
+                    )
+
+                kv_pages[li] = prefill_quant_scatter(
+                    kv_pages[li], k, v, pid,
+                    inv(k_scales[li]), inv(v_scales[li]),
+                    interpret=interpret,
+                )
+            else:
+                qk = _quantize_block_per_page(k, k_scales[li], safe_pid, P)
+                qv = _quantize_block_per_page(v, v_scales[li], safe_pid, P)
+                kv_pages[li] = scatter_pages(kv_pages[li], qk, qv)
         else:
             qk = quantize_rows_against_pages(
                 k.reshape(-1, D), flat_idx, k_scales[li], P
@@ -325,11 +344,14 @@ def jnp_paged_attend(pool, ks, vs, q, lengths, page_table, page_size, n_heads):
 
 
 def make_attend_impl(model_cfg: ModelConfig, engine_cfg: EngineConfig,
-                     attention_impl: str, page_table, n_heads=None):
+                     attention_impl: str, page_table, n_heads=None,
+                     contiguous_pages: bool = False):
     """attend(pool, ks, vs, q, lengths) for a fixed page table, dispatching
     to the fused Pallas kernel (one-slot or grouped grid) or the jnp oracle.
     n_heads overrides the model's head count (tp ranks attend over their
-    local heads)."""
+    local heads). contiguous_pages: caller guarantees every table row is a
+    consecutive page range (AutonomousEngine group allocator) — the
+    grouped kernel then fetches multi-page runs with one DMA."""
     P = engine_cfg.page_size
     n_heads = n_heads or model_cfg.n_heads
     if attention_impl in ("pallas", "grouped"):
@@ -339,7 +361,11 @@ def make_attend_impl(model_cfg: ModelConfig, engine_cfg: EngineConfig,
         interpret = jax.default_backend() == "cpu"
         if attention_impl == "grouped":
             from ..ops.paged_attention_grouped import (
-                paged_decode_attention_grouped as kernel,
+                paged_decode_attention_grouped,
+            )
+            kernel = functools.partial(
+                paged_decode_attention_grouped,
+                contiguous_pages=contiguous_pages,
             )
         else:
             from ..ops.paged_attention import paged_decode_attention as kernel
@@ -369,6 +395,7 @@ def make_round_kv_callbacks(
     lengths,
     n_heads=None,
     scale_reduce=None,
+    contiguous_pages: bool = False,
 ):
     """Build the (write_kv, attend) pair for ONE decode round, mutating the
     per-layer kv_pages/k_scales/v_scales lists in place.
@@ -412,7 +439,8 @@ def make_round_kv_callbacks(
             out, kv_pages[li] = paged_decode_attention_grouped(
                 q, kv_pages[li], lens, page_table,
                 k_scales[li], v_scales[li], k, v,
-                n_heads=heads, interpret=interpret,
+                n_heads=heads, contiguous_pages=contiguous_pages,
+                interpret=interpret,
             )
             return out.astype(q.dtype)
 
@@ -420,7 +448,8 @@ def make_round_kv_callbacks(
 
     flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
     attend_impl = make_attend_impl(
-        model_cfg, engine_cfg, attention_impl, page_table, n_heads=n_heads
+        model_cfg, engine_cfg, attention_impl, page_table, n_heads=n_heads,
+        contiguous_pages=contiguous_pages,
     )
 
     def write_kv(li, pos_, k, v, live_):

@@ -51,6 +51,7 @@ def _grouped_kernel(
     n_heads: int,
     quantized: bool,
     fused_write: bool = False,
+    pages_per_dma: int = 1,
     mask_value: float = MASK_VALUE,
 ):
     G = group_size
@@ -95,13 +96,31 @@ def _grouped_kernel(
         for j in range(G):
             slot = g_ * G + j
             ln = lengths_ref[slot]
-            for p in range(ppcb):
-                tok0 = (i_ * ppcb + (p if page_exact else 0)) * page_size
-                items.append((tok0 < ln, pltpu.make_async_copy(
-                    pages_hbm.at[page_tbl_ref[slot, i_ * ppcb + p]],
-                    kv_buf.at[buf_idx, j, p],
-                    kv_sem.at[buf_idx],
-                )))
+            if pages_per_dma > 1:
+                # contiguous-page mode: the caller guarantees each
+                # pages_per_dma run of table entries is a consecutive HBM
+                # range (group allocator), so the run moves as ONE DMA —
+                # K and V sides included. Gating is per RUN for int8
+                # (over-fetched trailing pages hold finite stale bytes,
+                # masked by select) and per BLOCK for float pools.
+                for p0 in range(0, ppcb, pages_per_dma):
+                    tok0 = (i_ * ppcb + (p0 if page_exact else 0)) * page_size
+                    items.append((tok0 < ln, pltpu.make_async_copy(
+                        pages_hbm.at[
+                            pl.ds(page_tbl_ref[slot, i_ * ppcb + p0],
+                                  pages_per_dma)
+                        ],
+                        kv_buf.at[buf_idx, j, pl.ds(p0, pages_per_dma)],
+                        kv_sem.at[buf_idx],
+                    )))
+            else:
+                for p in range(ppcb):
+                    tok0 = (i_ * ppcb + (p if page_exact else 0)) * page_size
+                    items.append((tok0 < ln, pltpu.make_async_copy(
+                        pages_hbm.at[page_tbl_ref[slot, i_ * ppcb + p]],
+                        kv_buf.at[buf_idx, j, p],
+                        kv_sem.at[buf_idx],
+                    )))
         return items
 
     def start_copies(items):
@@ -393,7 +412,8 @@ def _best_ppcb(w, g, page_size, d, kv_bytes):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_heads", "group_size", "pages_per_compute_block", "interpret"),
+    static_argnames=("n_heads", "group_size", "pages_per_compute_block",
+                     "contiguous_pages", "pages_per_dma", "interpret"),
 )
 def paged_decode_attention_grouped(
     q,            # [B, D]
@@ -408,6 +428,8 @@ def paged_decode_attention_grouped(
     n_heads: int = 1,
     group_size: int | None = None,
     pages_per_compute_block: int | None = None,
+    contiguous_pages: bool = False,
+    pages_per_dma: int | None = None,
     interpret: bool = False,
 ):
     """Grouped paged decode attention; with k_new/v_new the decode KV write
@@ -431,6 +453,17 @@ def paged_decode_attention_grouped(
     quantized = k_scales is not None
     fused_write = k_new is not None
     assert (k_new is None) == (v_new is None)
+    if contiguous_pages:
+        # caller guarantees each slot's table row is a consecutive page
+        # range (AutonomousEngine's group allocator); fetch whole runs
+        # with one DMA each. Default run length: the full compute block.
+        ppd = pages_per_dma or ppcb
+        assert ppcb % ppd == 0
+    else:
+        assert pages_per_dma in (None, 1), (
+            "pages_per_dma > 1 requires contiguous_pages"
+        )
+        ppd = 1
 
     q3 = q.reshape(B * n_heads, dh)
     block_spec = pl.BlockSpec((G * n_heads, dh), lambda g, i, *_: (g, 0))
@@ -478,6 +511,7 @@ def paged_decode_attention_grouped(
             n_heads=n_heads,
             quantized=quantized,
             fused_write=fused_write,
+            pages_per_dma=ppd,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalar_args),

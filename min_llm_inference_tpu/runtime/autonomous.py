@@ -57,16 +57,23 @@ class AutoState(NamedTuple):
     rid: jax.Array          # [B] i32 request index per slot
     allocated: jax.Array    # [B] bool — slot holds pages (needs freeing)
     queue_head: jax.Array   # [] i32
-    free_top: jax.Array     # [] i32 — stack[0:free_top] are free pages
-    page_stack: jax.Array   # [NP] i32
+    free_top: jax.Array     # [] i32 — stack[0:free_top] are free page GROUPS
+    page_stack: jax.Array   # [NP // W] i32 — free-list of W-page group ids
     out_tokens: jax.Array   # [R_total, S] i32 generated tokens by position
     final_lens: jax.Array   # [R_total] i32 (0 = unfinished)
 
 
 def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests: int) -> AutoState:
+    """Pages are allocated in CONTIGUOUS groups of W = pages_per_slot: the
+    free list holds group ids, and a slot's page-table row is always
+    [g*W, g*W+1, ..., g*W+W-1]. Allocation and freeing both move whole
+    groups (the autonomous engine's full-grant model), so no fragmentation
+    is possible — and the guaranteed contiguity lets the grouped Pallas
+    kernel fetch multi-page runs with ONE DMA (contiguous_pages=True)."""
     B = engine_cfg.n_slots
     W = engine_cfg.pages_per_slot(model_cfg.n_seq)
     NP = engine_cfg.n_pages
+    NG = NP // W
     return AutoState(
         kv=init_paged_state(model_cfg, engine_cfg),
         page_table=jnp.zeros((B, W), jnp.int32),
@@ -75,8 +82,8 @@ def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests
         rid=jnp.zeros(B, jnp.int32),
         allocated=jnp.zeros(B, bool),
         queue_head=jnp.zeros((), jnp.int32),
-        free_top=jnp.asarray(NP, jnp.int32),
-        page_stack=jnp.arange(NP, dtype=jnp.int32),
+        free_top=jnp.asarray(NG, jnp.int32),
+        page_stack=jnp.arange(NG, dtype=jnp.int32),
         out_tokens=jnp.zeros((n_requests, model_cfg.n_seq), jnp.int32),
         final_lens=jnp.zeros(n_requests, jnp.int32),
     )
@@ -101,28 +108,26 @@ def _autonomous_burst(
     R_total = prompts_all.shape[0]
     S_pre = prompts_all.shape[1]
 
-    # ---- 1. free pages of dead-but-allocated slots (vectorized push) ----
+    NG = NP // W
+
+    # ---- 1. free page GROUPS of dead-but-allocated slots (vectorized
+    # push; a slot's row is a contiguous group, id = first page // W) ----
     to_free = (st.lengths == 0) & st.allocated
     free_ord = jnp.cumsum(to_free) - 1          # [B] position among freed
     nf = jnp.sum(to_free)
-    push_pos = (
-        st.free_top
-        + free_ord[:, None] * W
-        + jnp.arange(W, dtype=jnp.int32)[None, :]
-    )  # [B, W]
-    push_pos = jnp.where(to_free[:, None], push_pos, NP)  # drop non-freed
-    page_stack = st.page_stack.at[push_pos.reshape(-1)].set(
-        st.page_table.reshape(-1), mode="drop"
+    push_pos = jnp.where(to_free, st.free_top + free_ord, NG)
+    page_stack = st.page_stack.at[push_pos].set(
+        st.page_table[:, 0] // W, mode="drop"
     )
-    free_top = st.free_top + nf * W
+    free_top = st.free_top + nf
     allocated = st.allocated & ~to_free
 
-    # ---- 2. admission: pop queue head into dead slots, W pages each ----
+    # ---- 2. admission: pop queue head into dead slots, one group each ----
     dead = ~allocated
     remaining = n_real - st.queue_head
     m = jnp.minimum(
         jnp.minimum(jnp.sum(dead), max_new),
-        jnp.minimum(remaining, free_top // W),
+        jnp.minimum(remaining, free_top),
     ).astype(jnp.int32)
     slot_ids_all = jnp.nonzero(dead, size=B, fill_value=B)[0]
     admit_mask = jnp.arange(max_new) < m
@@ -131,15 +136,11 @@ def _autonomous_burst(
     req_ix_c = jnp.clip(req_ix, 0, R_total - 1)
     plens = jnp.where(admit_mask, plens_all[req_ix_c], 0)
     prompts = prompts_all[req_ix_c]  # [max_new, S_pre]
-    # j-th admitted takes stack[free_top - (j+1)W : free_top - jW]
-    offs = (
-        free_top
-        - (jnp.arange(max_new, dtype=jnp.int32)[:, None] + 1) * W
-        + jnp.arange(W, dtype=jnp.int32)[None, :]
-    )
-    granted = page_stack[jnp.clip(offs, 0, NP - 1)]  # [max_new, W]
+    # j-th admitted pops stack[free_top - 1 - j]
+    gids = page_stack[jnp.clip(free_top - 1 - jnp.arange(max_new), 0, NG - 1)]
+    granted = gids[:, None] * W + jnp.arange(W, dtype=jnp.int32)[None, :]
     page_table = st.page_table.at[slot_ids].set(granted, mode="drop")
-    free_top = free_top - m * W
+    free_top = free_top - m
     queue_head = st.queue_head + m
     lengths = st.lengths.at[slot_ids].set(plens, mode="drop")
     last_prompt_tok = prompts[
@@ -177,6 +178,9 @@ def _autonomous_burst(
         write_kv, attend = make_round_kv_callbacks(
             model_cfg, engine_cfg, attention_impl, page_table,
             kv_pages, k_scales, v_scales, lengths,
+            # the group allocator guarantees every slot's page row is a
+            # consecutive HBM range -> multi-page runs move as one DMA
+            contiguous_pages=True,
         )
 
         tok, new_lengths = decode_round_tokens(
@@ -271,6 +275,8 @@ class AutonomousEngine:
         assert engine_cfg.n_pages >= W, (
             "autonomous engine grants full pages_per_slot per slot; pool too small"
         )
+        # group allocator: pages beyond the last full W-group are unused
+        self.n_groups = engine_cfg.n_pages // W
         self.max_new = min(max_new_per_burst, engine_cfg.n_slots)
         self.chunk = bursts_per_chunk
         self.request_capacity = request_capacity

@@ -261,3 +261,98 @@ def test_grouped_fused_write_multihead_multiblock():
     _fused_write_case(
         rng, B=8, W=8, P=8, D=256, H=2, G=4, kv_dtype="int8"
     )
+
+
+# ---- contiguous-page mode (group allocator; multi-page runs, one DMA) ----
+
+
+def _contiguous_state(rng, B, W, P, D, NP, int8):
+    """Table rows are consecutive page ranges (shuffled GROUP order)."""
+    assert NP % W == 0 and NP // W >= B
+    gids = rng.permutation(NP // W)[:B].astype(np.int32)
+    table = gids[:, None] * W + np.arange(W, dtype=np.int32)[None, :]
+    if int8:
+        pool = rng.integers(-127, 128, (NP, 2, P, D)).astype(np.int8)
+        ks = (rng.random(NP) * 0.05 + 0.001).astype(np.float32)
+        vs = (rng.random(NP) * 0.05 + 0.001).astype(np.float32)
+    else:
+        pool = rng.standard_normal((NP, 2, P, D)).astype(np.float32)
+        ks = vs = None
+    lengths = rng.integers(0, W * P + 1, B).astype(np.int32)
+    lengths[0] = 0
+    lengths[1] = W * P
+    q = rng.standard_normal((B, D)).astype(np.float32)
+    return q, pool, ks, vs, lengths, table
+
+
+@pytest.mark.parametrize("int8", [False, True])
+@pytest.mark.parametrize("ppd", [1, 2, 4])
+def test_grouped_contiguous_matches_oracle(int8, ppd):
+    rng = np.random.default_rng(60 + ppd)
+    B, W, P, D, G = 8, 4, 8, 128, 8
+    NP = (B + 3) * W
+    q, pool, ks, vs, lengths, table = _contiguous_state(
+        rng, B, W, P, D, NP, int8
+    )
+    got = np.asarray(
+        paged_decode_attention_grouped(
+            jnp.asarray(q), jnp.asarray(pool), jnp.asarray(lengths),
+            jnp.asarray(table),
+            None if ks is None else jnp.asarray(ks),
+            None if vs is None else jnp.asarray(vs),
+            group_size=G, pages_per_compute_block=W,
+            contiguous_pages=True, pages_per_dma=ppd, interpret=True,
+        )
+    )
+    if int8:
+        kctx, vctx = gather_kv_context(jnp.asarray(pool), jnp.asarray(table), P)
+        from min_llm_inference_tpu.models.paged import gather_scales
+        from min_llm_inference_tpu.ops.quant import dequantize_rows
+        kctx = dequantize_rows(kctx, gather_scales(jnp.asarray(ks), jnp.asarray(table), P))
+        vctx = dequantize_rows(vctx, gather_scales(jnp.asarray(vs), jnp.asarray(table), P))
+        want = np.asarray(
+            masked_attention(jnp.asarray(q), kctx, vctx, jnp.asarray(lengths), 1)
+        )
+    else:
+        want = oracle(q, pool, lengths, table, P, 1)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    assert np.all(got[lengths == 0] == 0.0)
+
+
+def test_grouped_contiguous_fused_write_matches_noncontiguous():
+    """Fused write + contiguous runs vs fused write + per-page DMAs: same
+    output and same resulting pool (on a contiguous table)."""
+    rng = np.random.default_rng(71)
+    B, W, P, D, G = 8, 4, 8, 128, 8
+    NP = (B + 2) * W
+    q, pool, ks, vs, lengths, table = _contiguous_state(
+        rng, B, W, P, D, NP, True
+    )
+    from min_llm_inference_tpu.models.paged import decode_fresh_pid
+    from min_llm_inference_tpu.ops.quant import update_page_scales
+
+    lengths = np.maximum(lengths, 1)
+    lengths[0] = 0
+    k_new = rng.standard_normal((B, D)).astype(np.float32)
+    v_new = rng.standard_normal((B, D)).astype(np.float32)
+    jl, jt = jnp.asarray(lengths), jnp.asarray(table)
+    pos = jnp.maximum(jl - 1, 0)
+    fresh = decode_fresh_pid(jt, pos, jl > 0, P, NP)
+    ksu = update_page_scales(jnp.asarray(ks), jnp.asarray(k_new), fresh)
+    vsu = update_page_scales(jnp.asarray(vs), jnp.asarray(v_new), fresh)
+
+    outs = []
+    pools = []
+    for contig, ppd in ((False, None), (True, 2), (True, 4)):
+        o, p = paged_decode_attention_grouped(
+            jnp.asarray(q), jnp.asarray(pool), jl, jt, ksu, vsu,
+            jnp.asarray(k_new), jnp.asarray(v_new),
+            group_size=G, pages_per_compute_block=W,
+            contiguous_pages=contig, pages_per_dma=ppd, interpret=True,
+        )
+        outs.append(np.asarray(o))
+        pools.append(np.asarray(p))
+    np.testing.assert_allclose(outs[1], outs[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(outs[2], outs[0], rtol=2e-5, atol=2e-5)
+    np.testing.assert_array_equal(pools[1], pools[0])
+    np.testing.assert_array_equal(pools[2], pools[0])
