@@ -71,12 +71,13 @@ def build_store(rng, n_requests, max_prompt, n_vocab):
     return store
 
 
-def run_once(params, model_cfg, engine_cfg, store, attention, engine_kind="host", rounds_chunk=4, capacity=None, max_new=128):
+def run_once(params, model_cfg, engine_cfg, store, attention, engine_kind="host", rounds_chunk=4, capacity=None, max_new=128, min_drain=None):
     if engine_kind == "auto":
         engine = AutonomousEngine(
             params, model_cfg, engine_cfg, attention_impl=attention,
             bursts_per_chunk=rounds_chunk, request_capacity=capacity,
             max_new_per_burst=max_new,
+            min_drain_slots=min_drain or engine_cfg.n_slots,
         )
     else:
         engine = PagedEngine(params, model_cfg, engine_cfg, attention_impl=attention)
@@ -107,7 +108,11 @@ def main():
                     help="ref = reference-parity single attention block; "
                          "gpt2s = 12-layer GPT-2-small-class stack")
     ap.add_argument("--bursts-per-chunk", type=int, default=24)
-    ap.add_argument("--max-new-per-burst", type=int, default=256)
+    ap.add_argument("--max-new-per-burst", type=int, default=512)
+    ap.add_argument("--min-drain-slots", type=int, default=None,
+                    help="drain-downshift floor (default: n_slots = off)")
+    ap.add_argument("--pages-per-dma", type=int, default=None,
+                    help="contiguous-run DMA length in pages (grouped kernel)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler (xprof) trace of ONE timed "
                          "run into LOGDIR (reference: NVTX + make profile)")
@@ -134,6 +139,7 @@ def main():
         page_size=args.page_size, init_num_pages=args.init_pages,
         kv_dtype=args.kv_dtype or args.dtype,
         max_prefill_batch=args.max_prefill_batch,
+        pages_per_dma=args.pages_per_dma,
     )
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":
@@ -150,7 +156,7 @@ def main():
         warm_store = build_store(rng, min(args.slots, 64), min(64, args.seq // 2), args.vocab)
         run_once(params, model_cfg, engine_cfg, warm_store, args.attention,
                  args.engine, args.bursts_per_chunk, args.requests,
-                 args.max_new_per_burst)
+                 args.max_new_per_burst, args.min_drain_slots)
 
     # best-of-N timed runs: the device transport has ~15-20% run-to-run
     # variance; report peak sustained throughput
@@ -168,7 +174,7 @@ def main():
         with trace(args.profile):
             counter = run_once(params, model_cfg, engine_cfg, store, args.attention,
                                args.engine, args.bursts_per_chunk, args.requests,
-                               args.max_new_per_burst)
+                               args.max_new_per_burst, args.min_drain_slots)
         wall = time.perf_counter() - t0
         if best is None or wall < best[1]:
             best = (counter, wall)

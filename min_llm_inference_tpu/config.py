@@ -77,6 +77,10 @@ class EngineConfig:
     # Max new requests prefilled per jitted prefill call; n_new is padded up
     # to this (static shape), larger batches loop. Keeps one compilation.
     max_prefill_batch: int = 32
+    # Pages moved per DMA in the grouped kernel's contiguous mode (None =
+    # whole compute block). Smaller runs gate fetches at finer length
+    # granularity (fewer over-fetched bytes), larger runs issue fewer DMAs.
+    pages_per_dma: int | None = None
 
     @property
     def kv_jax_dtype(self):

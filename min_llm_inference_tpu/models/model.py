@@ -115,6 +115,7 @@ def decode_round_tokens(
     write_kv: Callable,
     attend: Callable,
     ctx=DEFAULT_CTX,
+    next_token_fn: Callable | None = None,
 ):
     """One greedy decode round for every live batch slot.
 
@@ -126,6 +127,8 @@ def decode_round_tokens(
     last_tokens: [B] int32 — token id at position lengths-1.
     write_kv(layer_idx, pos, k, v, live) -> None  (backend-side KV append)
     attend(layer_idx, q, lengths) -> [B, D]      (backend-side attention)
+    next_token_fn(logits, lengths) -> (tok, new_lengths) overrides the
+    greedy decoder (sampling — see ops/reference.sample_next_token).
 
     Returns (next_tokens [B], new_lengths [B]).
     """
@@ -155,6 +158,8 @@ def decode_round_tokens(
             h = layer_post(layer, cfg, h, attn_out, ctx)
     with jax.named_scope("logits_argmax"):
         logits = ctx.logits(h, params["wte"])
+        if next_token_fn is not None:
+            return next_token_fn(logits, lengths)
         return greedy_next_token(logits, lengths, cfg.n_seq, cfg.eof_token_id)
 
 

@@ -455,9 +455,17 @@ def paged_decode_attention_grouped(
     assert (k_new is None) == (v_new is None)
     if contiguous_pages:
         # caller guarantees each slot's table row is a consecutive page
-        # range (AutonomousEngine's group allocator); fetch whole runs
-        # with one DMA each. Default run length: the full compute block.
-        ppd = pages_per_dma or ppcb
+        # range (AutonomousEngine's group allocator); fetch whole runs with
+        # one DMA each. Auto run length balances DMA count against
+        # over-fetched bytes: int8 pools gate per RUN (2-page runs measured
+        # best at bench shapes: 433k vs 400k tok/s for whole-block runs vs
+        # 370k for per-page copies); float pools gate per BLOCK anyway, so
+        # the whole block moves as one DMA.
+        if pages_per_dma is None:
+            auto = 2 if (kv_pages.dtype == jnp.int8 and ppcb % 2 == 0) else ppcb
+            ppd = min(auto, ppcb)
+        else:
+            ppd = min(pages_per_dma, ppcb)
         assert ppcb % ppd == 0
     else:
         assert pages_per_dma in (None, 1), (

@@ -29,9 +29,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(
-    pid_ref,      # [M, W] i32 scalar prefetch (NP = skip)
-    inv_k_ref,    # [M, W] f32
-    inv_v_ref,    # [M, W] f32
+    pid_ref,      # [M * W] i32 scalar prefetch, (m, w) at m*W + w (NP = skip)
+    inv_k_ref,    # [M * W] f32 (1D: 2D SMEM operands pad the minor dim to
+    inv_v_ref,    # [M * W] f32  128 lanes and blow the 1MB SMEM budget)
     k_ref,        # [1, P, D] block of K rows for (m, w)
     v_ref,        # [1, P, D]
     pool_in,      # [NP, 2, P, D] int8 (ANY; same buffer as pool_hbm)
@@ -43,7 +43,7 @@ def _kernel(
     n_w: int,
 ):
     m, w = pl.program_id(0), pl.program_id(1)
-    pid = pid_ref[m, w]
+    pid = pid_ref[m * n_w + w]
     valid = pid < n_pages
     buf = (m * n_w + w) % 2
 
@@ -59,7 +59,7 @@ def _kernel(
 
     @pl.when(step >= 2)
     def _wait_prev():
-        ppid = pid_ref[pm, pw]
+        ppid = pid_ref[pm * n_w + pw]
 
         @pl.when(ppid < n_pages)
         def _():
@@ -70,7 +70,7 @@ def _kernel(
         for side, (ref, inv_ref) in enumerate(
             ((k_ref, inv_k_ref), (v_ref, inv_v_ref))
         ):
-            x = ref[0].astype(jnp.float32) * inv_ref[m, w]
+            x = ref[0].astype(jnp.float32) * inv_ref[m * n_w + w]
             qbuf[buf, side] = jnp.clip(
                 jnp.round(x), -127.0, 127.0
             ).astype(jnp.int8)
@@ -84,11 +84,9 @@ def _kernel(
         for s in (last - 1, last):
             if s < 0:
                 continue
-            sm, sw = s // n_w, s % n_w
-
-            @pl.when(pid_ref[sm, sw] < n_pages)
-            def _(s=s, sm=sm, sw=sw):
-                copy(s % 2, pid_ref[sm, sw]).wait()
+            @pl.when(pid_ref[s] < n_pages)
+            def _(s=s):
+                copy(s % 2, pid_ref[s]).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -131,5 +129,5 @@ def prefill_quant_scatter(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(pid, inv_k, inv_v, k4, v4, pool)
+    )(pid.reshape(-1), inv_k.reshape(-1), inv_v.reshape(-1), k4, v4, pool)
     return out

@@ -163,6 +163,29 @@ def greedy_next_token(logits, lengths, n_seq: int, eof_token_id: int):
     return tok, new_lengths
 
 
+def sample_next_token(logits, lengths, n_seq: int, eof_token_id: int,
+                      key, temperature: float = 1.0, top_k: int = 0):
+    """Stochastic decoding: temperature + optional top-k sampling, with the
+    same device-side length/liveness rules as greedy_next_token.
+
+    EXTENSION beyond the reference (greedy-only, decoder.cu): offered only
+    by AutonomousEngine — the host engines' preemption recompute and
+    pipelined-result discard rely on greedy determinism (CLAUDE.md
+    invariants), while the autonomous engine never preempts or discards.
+    Deterministic for a fixed key (same seed -> same tokens).
+    """
+    live = lengths > 0
+    scaled = logits.astype(jnp.float32) / jnp.maximum(temperature, 1e-6)
+    if top_k and top_k < logits.shape[-1]:
+        kth = jax.lax.top_k(scaled, top_k)[0][..., -1:]
+        scaled = jnp.where(scaled >= kth, scaled, NEG_INF)
+    tok = jax.random.categorical(key, scaled, axis=-1).astype(jnp.int32)
+    tok = jnp.where(live, tok, jnp.int32(EMPTY_ROW_TOKEN_ID))
+    finished = live & ((tok == eof_token_id) | (lengths + 1 >= n_seq))
+    new_lengths = jnp.where(live & ~finished, lengths + 1, 0)
+    return tok, new_lengths
+
+
 def feed_forward(x, w, b=None, activation=None):
     """Generic dense layer: x @ W (+ b) (+ act). Reference FeedForward
     (src/layers.cpp:10-52) wraps a bias GEMM; defined-and-tested there but

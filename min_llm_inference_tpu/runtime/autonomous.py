@@ -61,9 +61,10 @@ class AutoState(NamedTuple):
     page_stack: jax.Array   # [NP // W] i32 — free-list of W-page group ids
     out_tokens: jax.Array   # [R_total, S] i32 generated tokens by position
     final_lens: jax.Array   # [R_total] i32 (0 = unfinished)
+    rng_key: jax.Array | None = None  # PRNG state (sampling mode only)
 
 
-def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests: int) -> AutoState:
+def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests: int, sample_seed: int | None = None) -> AutoState:
     """Pages are allocated in CONTIGUOUS groups of W = pages_per_slot: the
     free list holds group ids, and a slot's page-table row is always
     [g*W, g*W+1, ..., g*W+W-1]. Allocation and freeing both move whole
@@ -86,6 +87,8 @@ def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests
         page_stack=jnp.arange(NG, dtype=jnp.int32),
         out_tokens=jnp.zeros((n_requests, model_cfg.n_seq), jnp.int32),
         final_lens=jnp.zeros(n_requests, jnp.int32),
+        rng_key=(None if sample_seed is None
+                 else jax.random.PRNGKey(sample_seed)),
     )
 
 
@@ -94,6 +97,7 @@ def _autonomous_burst(
     engine_cfg: EngineConfig,
     attention_impl: str,
     max_new: int,
+    sampling,       # None = greedy, else (temperature, top_k) static
     params,
     st: AutoState,
     prompts_all,   # [R_cap, S_pre] i32 (S_pre: static max-prompt bucket)
@@ -171,7 +175,7 @@ def _autonomous_burst(
     R = engine_cfg.n_forward_rounds
 
     def round_fn(carry, _):
-        kv, lengths, last = carry
+        kv, lengths, last, key = carry
         kv_pages = list(kv.kv_pages)
         k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
         live = lengths > 0
@@ -183,8 +187,23 @@ def _autonomous_burst(
             contiguous_pages=True,
         )
 
+        if sampling is None:
+            ntf = None
+        else:
+            from ..ops.reference import sample_next_token
+
+            temperature, top_k = sampling
+            key, sub = jax.random.split(key)
+
+            def ntf(logits, lens):
+                return sample_next_token(
+                    logits, lens, S, model_cfg.eof_token_id, sub,
+                    temperature, top_k,
+                )
+
         tok, new_lengths = decode_round_tokens(
-            params, model_cfg, lengths, last, write_kv, attend
+            params, model_cfg, lengths, last, write_kv, attend,
+            next_token_fn=ntf,
         )
         # emitted token's position in its sequence = old length
         out_idx = jnp.where(live, rid * S + lengths, R_total * S)
@@ -194,12 +213,12 @@ def _autonomous_burst(
         kv = PagedKVState(
             tuple(kv_pages), tuple(k_scales), tuple(v_scales)
         )
-        return (kv, new_lengths, new_last), (tok, out_idx, fin_rid, lengths + 1)
+        return (kv, new_lengths, new_last, key), (tok, out_idx, fin_rid, lengths + 1)
 
     def run_rounds(carry):
-        (kv, lengths, last, out_tokens, final_lens) = carry
-        (kv, lengths, last), (toks, out_idx, fin_rid, fin_len) = jax.lax.scan(
-            round_fn, (kv, lengths, last), None, length=R
+        (kv, lengths, last, key, out_tokens, final_lens) = carry
+        (kv, lengths, last, key), (toks, out_idx, fin_rid, fin_len) = jax.lax.scan(
+            round_fn, (kv, lengths, last, key), None, length=R
         )
         out_tokens = (
             out_tokens.reshape(-1)
@@ -209,20 +228,20 @@ def _autonomous_burst(
         final_lens = final_lens.at[fin_rid.reshape(-1)].set(
             fin_len.reshape(-1), mode="drop"
         )
-        return (kv, lengths, last, out_tokens, final_lens)
+        return (kv, lengths, last, key, out_tokens, final_lens)
 
     # chunked dispatch overshoots past completion by up to chunk-1 bursts;
     # skip the whole decode scan when no slot is live so those cost ~nothing
-    (kv, lengths, last_tokens, out_tokens, final_lens) = jax.lax.cond(
+    (kv, lengths, last_tokens, rng_key, out_tokens, final_lens) = jax.lax.cond(
         jnp.any(lengths > 0),
         run_rounds,
         lambda c: c,
-        (kv, lengths, last_tokens, st.out_tokens, st.final_lens),
+        (kv, lengths, last_tokens, st.rng_key, st.out_tokens, st.final_lens),
     )
 
     new_st = AutoState(
         kv, page_table, lengths, last_tokens, rid, allocated,
-        queue_head, free_top, page_stack, out_tokens, final_lens,
+        queue_head, free_top, page_stack, out_tokens, final_lens, rng_key,
     )
     status = jnp.stack([
         jnp.sum(lengths > 0).astype(jnp.int32),
@@ -238,13 +257,38 @@ def make_autonomous_fn(
     engine_cfg: EngineConfig,
     attention_impl: str,
     max_new: int,
+    sampling=None,
 ):
     return jax.jit(
         functools.partial(
-            _autonomous_burst, model_cfg, engine_cfg, attention_impl, max_new
+            _autonomous_burst, model_cfg, engine_cfg, attention_impl,
+            max_new, sampling,
         ),
         donate_argnums=(1,),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _make_compact_slice(b_new: int):
+    """Jitted drain-phase compaction: stable-sort live slots to the front
+    and slice the per-slot state down to b_new rows. Only valid once the
+    request queue is drained (dead slots dropped from the state can no
+    longer free their pages — irrelevant: nothing is admitted again) and
+    when at most b_new slots are live (host-checked via the status fetch)."""
+
+    @jax.jit
+    def compact(st: AutoState) -> AutoState:
+        order = jnp.argsort((st.lengths == 0).astype(jnp.int32), stable=True)
+        sel = order[:b_new]
+        return st._replace(
+            lengths=st.lengths[sel],
+            last_tokens=st.last_tokens[sel],
+            rid=st.rid[sel],
+            allocated=st.allocated[sel],
+            page_table=st.page_table[sel],
+        )
+
+    return compact
 
 
 class AutonomousEngine:
@@ -263,6 +307,10 @@ class AutonomousEngine:
         max_new_per_burst: int = 128,
         bursts_per_chunk: int = 4,
         request_capacity: int | None = None,
+        min_drain_slots: int | None = None,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        sample_seed: int = 0,
     ):
         model_cfg.validate()
         engine_cfg.validate(model_cfg)
@@ -280,8 +328,38 @@ class AutonomousEngine:
         self.max_new = min(max_new_per_burst, engine_cfg.n_slots)
         self.chunk = bursts_per_chunk
         self.request_capacity = request_capacity
+        self.attention_impl = attention_impl
+        # drain downshift floor; None = disabled (measured -12% on the
+        # bench workload through the axon transport — executable switching
+        # costs more than the smaller grids save there; available for
+        # latency-focused drains and tested for token parity)
+        self.min_drain_slots = (
+            max(8, min_drain_slots) if min_drain_slots
+            else engine_cfg.n_slots
+        )
+        # temperature > 0 switches the decoder to stochastic sampling
+        # (ops/reference.sample_next_token) — an AutonomousEngine-only
+        # feature: host engines need greedy determinism for preemption
+        # recompute and pipelined-result discard
+        self.sampling = (float(temperature), int(top_k)) if temperature > 0 else None
+        self.sample_seed = sample_seed if self.sampling else None
         self._burst = make_autonomous_fn(
-            model_cfg, engine_cfg, attention_impl, self.max_new
+            model_cfg, engine_cfg, attention_impl, self.max_new, self.sampling
+        )
+
+    def _burst_for(self, b_exec: int):
+        """Burst executable over the first b_exec slots (drain downshift:
+        once the queue is empty and liveness has fallen, a half-size
+        executable halves the per-round fixed cost — projections, logits,
+        argmax run over b_exec rows, and the kernel grid shrinks)."""
+        import dataclasses
+
+        if b_exec == self.engine_cfg.n_slots:
+            return self._burst
+        cfg = dataclasses.replace(self.engine_cfg, n_slots=b_exec)
+        return make_autonomous_fn(
+            self.model_cfg, cfg, self.attention_impl,
+            min(self.max_new, b_exec), self.sampling,
         )
 
     def run(self, item_storage: ItemStorage) -> None:
@@ -303,7 +381,9 @@ class AutonomousEngine:
             prompts_all[i, : len(req.tokens)] = req.tokens
             plens_all[i] = len(req.tokens)
 
-        st = init_auto_state(self.model_cfg, self.engine_cfg, cap)
+        st = init_auto_state(
+            self.model_cfg, self.engine_cfg, cap, self.sample_seed
+        )
         prompts_dev = jnp.asarray(prompts_all)
         plens_dev = jnp.asarray(plens_all)
 
@@ -311,15 +391,27 @@ class AutonomousEngine:
         counter.start_record()
         done = False
         prev_status = None
+        b_exec = self.engine_cfg.n_slots
         while not done:
+            burst = self._burst_for(b_exec)
             with phase("burst_dispatch"):
                 for _ in range(self.chunk):
-                    st, status = self._burst(
+                    st, status = burst(
                         self.params, st, prompts_dev, plens_dev, n_real
                     )
             with phase("status_fetch"):
                 live, head, free = (int(x) for x in np.asarray(status))
             done = live == 0 and head >= n
+            if not done and head >= n:
+                # drain: queue empty, nothing to admit — compact live
+                # slots to the front and drop to the smallest power-of-two
+                # executable that still holds them
+                while (
+                    b_exec // 2 >= self.min_drain_slots
+                    and live <= b_exec // 2
+                ):
+                    b_exec //= 2
+                    st = _make_compact_slice(b_exec)(st)
             # Stall detection needs TWO consecutive no-progress chunks:
             # page freeing happens at the start of the NEXT burst, so a
             # chunk can legitimately end with live==0, head<n and a

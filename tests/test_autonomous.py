@@ -125,3 +125,81 @@ def test_autonomous_empty_store(params):
     store = ItemStorage()
     AutonomousEngine(params, MODEL, cfg, attention_impl="jnp").run(store)
     assert len(store.finished) == 0
+
+
+def test_autonomous_drain_downshift_parity(params, rng):
+    """Drain downshift (compaction + smaller burst executables once the
+    queue is empty) must not change any output token."""
+    n = 24
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       max_prefill_batch=8)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for min_drain in (8, 2):  # 8 = never downshifts, 2 = down to 2 slots
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(
+            params, MODEL, cfg, attention_impl="jnp",
+            min_drain_slots=min_drain, max_new_per_burst=4,
+        ).run(s)
+        stores[min_drain] = s
+    assert len(stores[2].finished) == n
+    for i in range(n):
+        assert stores[2].finished[i].tokens == stores[8].finished[i].tokens, i
+
+
+def test_autonomous_downshift_grouped_int8(params, rng):
+    """Downshift with the grouped kernel + int8 pool (the bench config's
+    path, incl. contiguous-page DMA at the smaller grid)."""
+    n = 20
+    cfg = EngineConfig(n_slots=16, page_size=16, n_pages=16 * 4,
+                       kv_dtype="int8", n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for min_drain in (16, 8):
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(
+            params, MODEL, cfg, attention_impl="grouped",
+            min_drain_slots=min_drain, max_new_per_burst=8,
+        ).run(s)
+        stores[min_drain] = s
+    assert len(stores[8].finished) == n
+    for i in range(n):
+        assert stores[8].finished[i].tokens == stores[16].finished[i].tokens, i
+
+
+def test_autonomous_sampling_deterministic_per_seed(params, rng):
+    """temperature>0 switches to stochastic decoding (autonomous-only
+    extension): same seed -> identical outputs, different seed -> differs;
+    liveness/cap rules unchanged."""
+    n = 12
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+
+    def run(seed):
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(
+            params, MODEL, cfg, attention_impl="jnp",
+            temperature=1.5, top_k=16, sample_seed=seed,
+        ).run(s)
+        return s
+
+    a, b, c = run(7), run(7), run(8)
+    assert len(a.finished) == n
+    for i in range(n):
+        ta = a.finished[i].tokens
+        assert ta == b.finished[i].tokens, i  # same seed, bit-equal
+        assert len(ta) <= MODEL.n_seq
+        assert all(0 <= t < MODEL.n_vocab for t in ta)
+    assert any(
+        a.finished[i].tokens != c.finished[i].tokens for i in range(n)
+    ), "different seeds produced identical streams"
