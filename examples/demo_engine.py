@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--n-items", type=int, default=32)
     ap.add_argument("--attention", default="jnp",
                     choices=["jnp", "pallas", "grouped"])
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature for the auto backend "
+                         "(0 = greedy; sampling is AutonomousEngine-only)")
+    ap.add_argument("--top-k", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
@@ -68,7 +73,11 @@ def main():
         elif name == "native":
             eng = NativePagedEngine(params, model_cfg, engine_cfg, attention_impl=args.attention)
         elif name == "auto":
-            eng = AutonomousEngine(params, model_cfg, engine_cfg, attention_impl=args.attention)
+            eng = AutonomousEngine(
+                params, model_cfg, engine_cfg, attention_impl=args.attention,
+                temperature=args.temperature, top_k=args.top_k,
+                sample_seed=args.seed,
+            )
         else:
             eng = PagedEngine(params, model_cfg, engine_cfg, attention_impl=args.attention)
         eng.run(store)
@@ -85,7 +94,7 @@ def main():
     # MXU's bf16 multiplies that can flip greedy near-ties, so exact
     # parity with "dense" is only guaranteed for --attention jnp. The
     # pallas-backed engines must always agree with each other.
-    if len(backends) > 1:
+    if len(backends) > 1 and args.temperature == 0:
         ref_name = backends[0]
         for other in backends[1:]:
             n_match = sum(

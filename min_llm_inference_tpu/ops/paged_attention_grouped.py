@@ -181,7 +181,10 @@ def _grouped_kernel(
         # below sees the current token exactly like the scatter path did —
         # and DMA the FULL page back to the aliased HBM pool (int8 tiling
         # forbids single-row HBM writes; a page is exactly one 32-sublane
-        # tile). Write DMAs overlap the flash compute; waited at step end.
+        # tile). Write DMAs overlap the flash compute; waited at step end
+        # (a deferred cross-step wait was tried and measured SLOWER: the
+        # dynamic fori_loop semaphore drain serializes worse than the
+        # in-step wait overlaps).
         write_items = []
         if fused_write:
             for j in range(G):
@@ -297,10 +300,14 @@ def _grouped_kernel(
         if H == 1:
             row_len = len_col
         else:
-            # [G,1] -> [G,H] (broadcast along minor) -> [G*H, 1]
-            row_len = lax.broadcast_in_dim(
-                len_col[:, 0], (G, H), (0,)
-            ).reshape(G * H, 1)
+            # Mosaic rejects the (G, H) -> (G*H, 1) reshape (mixes the lane
+            # dim into sublanes); build the column from SMEM scalars like
+            # scale_rows does: G stacked [H, 1] broadcasts
+            row_len = jnp.concatenate(
+                [jnp.full((H, 1), lengths_ref[g * G + j], jnp.int32)
+                 for j in range(G)],
+                axis=0,
+            )
         col = i * bk + lax.broadcasted_iota(jnp.int32, (G * H, bk), 1)
         mask = col < row_len
         # select, not add: columns past a slot's length may come from pages
@@ -388,7 +395,14 @@ _VMEM_LIMIT = 112 * 1024 * 1024
 
 def _choose_group(b, w, page_size, d, kv_bytes):
     """Pick (group_size, ppcb) maximizing in-flight pages within budget,
-    preferring wider groups (more slots batched per grid step)."""
+    preferring wider groups (more slots batched per grid step).
+
+    Measured caution (v5e, bench shapes): a STANDALONE no-write sweep
+    says G=16/ppd=2 is ~2x faster than G=64 (0.42 vs 0.7+ ms), but the
+    engine's fused-write path measures the OPPOSITE end-to-end (343k vs
+    433k tok/s): the per-step write-back DMA wait penalizes many small
+    grid steps. Group-size tuning must be validated on the fused-write
+    path; wide groups win there."""
     best = (1, 1)
     for g in (64, 32, 16, 8, 4, 2, 1):
         if b % g:

@@ -88,6 +88,9 @@ def main():
                     help="fraction of slots live (mid-run occupancy)")
     ap.add_argument("--skip", default="",
                     help="comma list of phases to skip (pallas,grouped,write,proj)")
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep grouped-kernel (group_size, pages_per_dma) "
+                    "on a contiguous table instead of the default variants")
     args = ap.parse_args()
 
     B, NP, S, D, V, P = (args.slots, args.pages, args.seq, args.emb,
@@ -139,10 +142,24 @@ def main():
     def fold_q(out):
         return (q0 + 1e-6 * out).astype(dt)
 
-    for name, fn in (
+    variants = [
         ("pallas ", functools.partial(paged_decode_attention, n_heads=1)),
         ("grouped", functools.partial(paged_decode_attention_grouped, n_heads=1)),
-    ):
+    ]
+    if args.sweep:
+        # contiguous-table G x ppd grid sweep (group-allocator layout)
+        W_ = W
+        gids = rng.permutation(NP // W_)[:B].astype(np.int32)
+        table_d = jnp.asarray(
+            gids[:, None] * W_ + np.arange(W_, dtype=np.int32)[None, :]
+        )
+        variants = [
+            (f"contig G={g} ppd={ppd}", functools.partial(
+                paged_decode_attention_grouped, n_heads=1, group_size=g,
+                contiguous_pages=True, pages_per_dma=ppd))
+            for g in (16, 32, 64) for ppd in (1, 2, 4)
+        ]
+    for name, fn in variants:
         if name.strip() in skip:
             continue
         def step(qq, fn=fn):
