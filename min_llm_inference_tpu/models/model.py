@@ -116,6 +116,7 @@ def decode_round_tokens(
     attend: Callable,
     ctx=DEFAULT_CTX,
     next_token_fn: Callable | None = None,
+    ablate: frozenset = frozenset(),
 ):
     """One greedy decode round for every live batch slot.
 
@@ -130,16 +131,31 @@ def decode_round_tokens(
     next_token_fn(logits, lengths) -> (tok, new_lengths) overrides the
     greedy decoder (sampling — see ops/reference.sample_next_token).
 
+    ablate: profiling-only phase knockouts ({"embed","qkv","attend",
+    "logits","argmax"}); each skipped phase is replaced by a cheap
+    data-dependent stand-in (so XLA cannot dead-code the rest of the
+    round) with the SAME shapes/liveness schedule. Never set in
+    production paths — it exists for in-burst A/B timing, the only
+    reliable microbench on this transport (tools/burst_ablate.py).
+
     Returns (next_tokens [B], new_lengths [B]).
     """
     pos = jnp.maximum(lengths - 1, 0)
     with jax.named_scope("embed"):
-        h = ctx.embed(params, last_tokens, pos)
+        if "embed" in ablate:
+            wte = params["wte"]
+            h = jnp.broadcast_to(
+                last_tokens[:, None], (last_tokens.shape[0], wte.shape[1])
+            ).astype(wte.dtype)
+        else:
+            h = ctx.embed(params, last_tokens, pos)
     live = lengths > 0
     for li, layer in enumerate(params["layers"]):
         x = layer_attn_input(layer, cfg, h)
         with jax.named_scope(f"l{li}.qkv_proj"):
-            if "wqkv" in layer:
+            if "qkv" in ablate:
+                q = k = v = x
+            elif "wqkv" in layer:
                 # fused projection; under tp the local block is [q_l|k_l|v_l]
                 # (fuse_qkv_params interleaves per rank) so thirds of the
                 # LOCAL width split it on every topology
@@ -153,11 +169,23 @@ def decode_round_tokens(
         with jax.named_scope(f"l{li}.write_kv"):
             write_kv(li, pos, k, v, live)
         with jax.named_scope(f"l{li}.attend"):
-            attn_out = attend(li, q, lengths)
+            attn_out = q if "attend" in ablate else attend(li, q, lengths)
         with jax.named_scope(f"l{li}.post"):
             h = layer_post(layer, cfg, h, attn_out, ctx)
+
+    def _fabricated(tok_src):
+        # stand-in decode: data-dependent token, greedy length rule
+        tok = jnp.where(live, tok_src % cfg.eof_token_id, 0)
+        new_lengths = jnp.where(live & (lengths + 1 < cfg.n_seq),
+                                lengths + 1, 0)
+        return tok, new_lengths
+
     with jax.named_scope("logits_argmax"):
+        if "logits" in ablate:
+            return _fabricated(last_tokens + 1)
         logits = ctx.logits(h, params["wte"])
+        if "argmax" in ablate:
+            return _fabricated(logits[:, 0].astype(jnp.int32))
         if next_token_fn is not None:
             return next_token_fn(logits, lengths)
         return greedy_next_token(logits, lengths, cfg.n_seq, cfg.eof_token_id)

@@ -399,6 +399,7 @@ def make_round_kv_callbacks(
     n_heads=None,
     scale_reduce=None,
     contiguous_pages: bool = False,
+    ablate: frozenset = frozenset(),
 ):
     """Build the (write_kv, attend) pair for ONE decode round, mutating the
     per-layer kv_pages/k_scales/v_scales lists in place.
@@ -428,7 +429,12 @@ def make_round_kv_callbacks(
         pending = {}
 
         def write_kv(li, pos_, k, v, live_):
-            if k_scales[li] is not None:
+            if "kvwrite" in ablate:
+                # profiling knockout (tools/burst_ablate.py): kernel runs
+                # read-only — no scale update, no fused row insert
+                pending[li] = (None, None)
+                return
+            if k_scales[li] is not None and "scales" not in ablate:
                 k_scales[li] = update_page_scales(
                     k_scales[li], k, fresh_pid, scale_reduce
                 )
@@ -439,7 +445,7 @@ def make_round_kv_callbacks(
 
         def attend(li, q, lens):
             k, v = pending.pop(li)
-            out, kv_pages[li] = paged_decode_attention_grouped(
+            out = paged_decode_attention_grouped(
                 q, kv_pages[li], lens, page_table,
                 k_scales[li], v_scales[li], k, v,
                 n_heads=heads, contiguous_pages=contiguous_pages,
@@ -448,6 +454,8 @@ def make_round_kv_callbacks(
                 ),
                 interpret=interpret,
             )
+            if k is not None:
+                out, kv_pages[li] = out
             return out.astype(q.dtype)
 
         return write_kv, attend
@@ -459,6 +467,8 @@ def make_round_kv_callbacks(
     )
 
     def write_kv(li, pos_, k, v, live_):
+        if "kvwrite" in ablate:
+            return
         kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
             kv_pages[li], k_scales[li], v_scales[li],
             flat_idx, k, v, fresh_pid, scale_reduce,

@@ -100,19 +100,33 @@ def _grouped_kernel(
                 # contiguous-page mode: the caller guarantees each
                 # pages_per_dma run of table entries is a consecutive HBM
                 # range (group allocator), so the run moves as ONE DMA —
-                # K and V sides included. Gating is per RUN for int8
-                # (over-fetched trailing pages hold finite stale bytes,
-                # masked by select) and per BLOCK for float pools.
+                # K and V sides included. For int8 pools the run length is
+                # page-exact: ONE of pages_per_dma predicated copy variants
+                # fires (first m pages of the run, m = pages the slot's
+                # length actually reaches), so the DMA count stays one per
+                # run while no byte beyond ceil(len/P) pages moves. Float
+                # pools gate per BLOCK (masked columns must never read
+                # unfetched, possibly-NaN bytes).
                 for p0 in range(0, ppcb, pages_per_dma):
                     tok0 = (i_ * ppcb + (p0 if page_exact else 0)) * page_size
-                    items.append((tok0 < ln, pltpu.make_async_copy(
-                        pages_hbm.at[
-                            pl.ds(page_tbl_ref[slot, i_ * ppcb + p0],
-                                  pages_per_dma)
-                        ],
-                        kv_buf.at[buf_idx, j, pl.ds(p0, pages_per_dma)],
-                        kv_sem.at[buf_idx],
-                    )))
+                    pid0 = page_tbl_ref[slot, i_ * ppcb + p0]
+                    if page_exact:
+                        for m in range(1, pages_per_dma + 1):
+                            lo = tok0 + (m - 1) * page_size
+                            cond = (ln > lo) if m == pages_per_dma else (
+                                (ln > lo) & (ln <= lo + page_size)
+                            )
+                            items.append((cond, pltpu.make_async_copy(
+                                pages_hbm.at[pl.ds(pid0, m)],
+                                kv_buf.at[buf_idx, j, pl.ds(p0, m)],
+                                kv_sem.at[buf_idx],
+                            )))
+                    else:
+                        items.append((tok0 < ln, pltpu.make_async_copy(
+                            pages_hbm.at[pl.ds(pid0, pages_per_dma)],
+                            kv_buf.at[buf_idx, j, pl.ds(p0, pages_per_dma)],
+                            kv_sem.at[buf_idx],
+                        )))
             else:
                 for p in range(ppcb):
                     tok0 = (i_ * ppcb + (p if page_exact else 0)) * page_size

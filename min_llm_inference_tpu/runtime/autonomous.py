@@ -98,6 +98,7 @@ def _autonomous_burst(
     attention_impl: str,
     max_new: int,
     sampling,       # None = greedy, else (temperature, top_k) static
+    ablate,         # frozenset of phase knockouts (profiling only)
     params,
     st: AutoState,
     prompts_all,   # [R_cap, S_pre] i32 (S_pre: static max-prompt bucket)
@@ -185,6 +186,7 @@ def _autonomous_burst(
             # the group allocator guarantees every slot's page row is a
             # consecutive HBM range -> multi-page runs move as one DMA
             contiguous_pages=True,
+            ablate=ablate,
         )
 
         if sampling is None:
@@ -203,7 +205,7 @@ def _autonomous_burst(
 
         tok, new_lengths = decode_round_tokens(
             params, model_cfg, lengths, last, write_kv, attend,
-            next_token_fn=ntf,
+            next_token_fn=ntf, ablate=ablate,
         )
         # emitted token's position in its sequence = old length
         out_idx = jnp.where(live, rid * S + lengths, R_total * S)
@@ -258,11 +260,15 @@ def make_autonomous_fn(
     attention_impl: str,
     max_new: int,
     sampling=None,
+    ablate: str = "",
 ):
+    """ablate: comma-separated phase knockouts for in-burst A/B timing
+    (tools/burst_ablate.py); "" (production) compiles the full burst."""
     return jax.jit(
         functools.partial(
             _autonomous_burst, model_cfg, engine_cfg, attention_impl,
             max_new, sampling,
+            frozenset(x for x in ablate.split(",") if x),
         ),
         donate_argnums=(1,),
     )

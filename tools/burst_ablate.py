@@ -1,0 +1,148 @@
+"""In-burst phase ablation: the trustworthy per-phase decode profile.
+
+Standalone microbenches of small ops are polluted by ~0.1-0.3 ms of
+per-executable dispatch overhead on this transport (CLAUDE.md), so this
+tool times the FULL autonomous burst with one phase knocked out at a time
+(make_autonomous_fn(ablate=...)) and reports the deltas. Each knockout
+replaces the phase with a cheap data-dependent stand-in with identical
+shapes and liveness schedule, so the rest of the burst is untouched and
+the delta is that phase's true marginal cost inside the executable.
+
+Phases:
+  embed    token+pos embedding gather
+  qkv      fused QKV projection matmul
+  attend   grouped attention kernel call (incl. fused KV insert/writeback)
+  kvwrite  per-page scale scatter + in-kernel row insert (kernel stays,
+           read-only) — subset of attend's work
+  logits   tied logits matmul + argmax decode
+  argmax   argmax decode only (logits matmul stays)
+
+Timing: data-chained donated bursts, np.asarray status fetch as barrier,
+two loop counts so fixed costs cancel (tools/decode_microbench.py rules).
+
+Usage: env PYTHONPATH=.:/root/.axon_site python tools/burst_ablate.py
+       [--live 1024] [--len 32] [--rounds 16]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from min_llm_inference_tpu import EngineConfig, ModelConfig, init_params
+from min_llm_inference_tpu.models.params import fuse_qkv_params
+from min_llm_inference_tpu.runtime.autonomous import (
+    init_auto_state,
+    make_autonomous_fn,
+)
+
+ABLATIONS = [
+    "", "embed", "qkv", "attend", "kvwrite", "logits", "argmax",
+    # scales: skip the per-page scale scatters only (stale-scale quantize
+    # is numerically wrong but schedule/shape-identical — timing only)
+    "scales",
+    # combined knockouts resolve interactions the singles can't
+    "attend,qkv", "attend,embed,qkv,logits",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=1024)
+    ap.add_argument("--pages", type=int, default=4096)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--emb", type=int, default=2048)
+    ap.add_argument("--live", type=int, default=1024)
+    ap.add_argument("--len", type=int, default=32, dest="ctx_len")
+    ap.add_argument("--attention", default="grouped")
+    ap.add_argument("--rounds", type=int, default=16)
+    ap.add_argument("--n-small", type=int, default=2)
+    ap.add_argument("--n-big", type=int, default=5)
+    args = ap.parse_args()
+
+    B, NP, S, D = args.slots, args.pages, args.seq, args.emb
+    model = ModelConfig(n_vocab=1024, emb_dim=D, n_seq=S,
+                        eof_token_id=1023, dtype="bfloat16")
+    cfg = EngineConfig(n_slots=B, n_pages=NP, page_size=32,
+                       kv_dtype="int8", n_forward_rounds=args.rounds)
+    rng = np.random.default_rng(0)
+    params = fuse_qkv_params(init_params(jax.random.PRNGKey(0), model))
+
+    max_bursts = (S - 1 - args.ctx_len) // args.rounds
+    assert args.n_big <= max_bursts, "bursts overrun n_seq; lower --n-big"
+
+    n_req = 2048
+    st0 = init_auto_state(model, cfg, n_req)
+    W = cfg.pages_per_slot(S)
+
+    lengths = np.zeros(B, np.int32)
+    lengths[: args.live] = args.ctx_len
+    table = np.arange(B * W, dtype=np.int32).reshape(B, W)
+    template = st0._replace(
+        lengths=jnp.asarray(lengths),
+        page_table=jnp.asarray(table),
+        last_tokens=jnp.asarray(rng.integers(0, 1023, B), jnp.int32),
+        rid=jnp.asarray(np.arange(B, dtype=np.int32)),
+        allocated=jnp.asarray(lengths > 0),
+        queue_head=jnp.asarray(n_req, jnp.int32),  # drained
+        free_top=jnp.asarray(NP // W - B, jnp.int32),
+        page_stack=jnp.asarray(
+            np.concatenate([np.arange(B, NP // W), np.zeros(B)]
+                           ).astype(np.int32)),
+    )
+
+    s_pre = 64
+    prompts = jnp.asarray(rng.integers(0, 1023, (n_req, s_pre)), jnp.int32)
+    plens = jnp.asarray(rng.integers(1, s_pre, n_req), jnp.int32)
+    n_real = jnp.asarray(n_req, jnp.int32)
+
+    def fresh():
+        return jax.tree_util.tree_map(jnp.array, template)
+
+    def measure(ablate, repeats=3):
+        burst = make_autonomous_fn(model, cfg, args.attention, 256,
+                                   ablate=ablate)
+
+        def run(n, st_l):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                st_l, status = burst(params, st_l, prompts, plens, n_real)
+            _ = np.asarray(status)
+            return time.perf_counter() - t0
+
+        run(2, fresh())  # compile + warm
+        vals = []
+        for _ in range(repeats):
+            t_small = run(args.n_small, fresh())
+            t_big = run(args.n_big, fresh())
+            per_burst = (t_big - t_small) / (args.n_big - args.n_small)
+            vals.append(per_burst / args.rounds)
+        vals.sort()
+        return vals[len(vals) // 2], vals[0], vals[-1]
+
+    print(f"B={B} live={args.live} len={args.ctx_len} "
+          f"attn={args.attention} rounds={args.rounds}", flush=True)
+    base = None
+    for ab in ABLATIONS:
+        med, lo, hi = (x * 1e3 for x in measure(ab))
+        name = "full burst" if ab == "" else "-" + ab
+        if ab == "":
+            base = med
+            print(f"{name:<28s}: {med:7.3f} ms/round "
+                  f"[{lo:.3f},{hi:.3f}]", flush=True)
+        else:
+            print(f"{name:<28s}: {med:7.3f} ms/round "
+                  f"[{lo:.3f},{hi:.3f}]   delta {base - med:+7.3f} ms",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
