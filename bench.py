@@ -113,6 +113,8 @@ def main():
                     help="drain-downshift floor (default: n_slots = off)")
     ap.add_argument("--pages-per-dma", type=int, default=None,
                     help="contiguous-run DMA length in pages (grouped kernel)")
+    ap.add_argument("--attn-group", type=int, default=None,
+                    help="grouped-kernel slots per grid step (default auto)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler (xprof) trace of ONE timed "
                          "run into LOGDIR (reference: NVTX + make profile)")
@@ -140,6 +142,7 @@ def main():
         kv_dtype=args.kv_dtype or args.dtype,
         max_prefill_batch=args.max_prefill_batch,
         pages_per_dma=args.pages_per_dma,
+        attn_group_size=args.attn_group,
     )
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":

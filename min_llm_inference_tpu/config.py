@@ -81,6 +81,10 @@ class EngineConfig:
     # whole compute block). Smaller runs gate fetches at finer length
     # granularity (fewer over-fetched bytes), larger runs issue fewer DMAs.
     pages_per_dma: int | None = None
+    # Grouped-kernel slots per grid step (None = auto VMEM-budget chooser).
+    # Trades grid-step count against per-step VMEM: wider groups batch more
+    # page DMAs per step but cap pages_per_compute_block.
+    attn_group_size: int | None = None
 
     @property
     def kv_jax_dtype(self):

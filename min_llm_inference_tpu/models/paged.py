@@ -366,6 +366,7 @@ def make_attend_impl(model_cfg: ModelConfig, engine_cfg: EngineConfig,
             kernel = functools.partial(
                 paged_decode_attention_grouped,
                 contiguous_pages=contiguous_pages,
+                group_size=engine_cfg.attn_group_size,
                 pages_per_dma=(
                     engine_cfg.pages_per_dma if contiguous_pages else None
                 ),
@@ -449,6 +450,7 @@ def make_round_kv_callbacks(
                 q, kv_pages[li], lens, page_table,
                 k_scales[li], v_scales[li], k, v,
                 n_heads=heads, contiguous_pages=contiguous_pages,
+                group_size=engine_cfg.attn_group_size,
                 pages_per_dma=(
                     engine_cfg.pages_per_dma if contiguous_pages else None
                 ),

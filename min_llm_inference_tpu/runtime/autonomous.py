@@ -156,16 +156,31 @@ def _autonomous_burst(
     allocated = allocated | jnp.zeros(B, bool).at[slot_ids].set(True, mode="drop")
 
     # ---- 3. prefill admitted prompts (skipped when none) ----
+    # Admitted rows are the FIRST m of the max_new block, so the prefill
+    # matmuls/scatters only need the first bucket >= m rows: lax.switch
+    # picks the smallest static width that fits, instead of always paying
+    # the full padded [max_new, S_pre] block (mid-run refills are much
+    # smaller than the ramp's full-width admissions).
     kv = st.kv
 
-    def do_prefill(kv):
-        write_kv_block, finalize = make_prefill_kv_writer(
-            kv, granted, plens, S_pre, P, NP
-        )
-        prefill_write_kv(params, model_cfg, prompts, plens, write_kv_block)
-        return finalize()
+    def prefill_sized(bs):
+        def f(kv):
+            write_kv_block, finalize = make_prefill_kv_writer(
+                kv, granted[:bs], plens[:bs], S_pre, P, NP
+            )
+            prefill_write_kv(
+                params, model_cfg, prompts[:bs], plens[:bs], write_kv_block
+            )
+            return finalize()
 
-    kv = jax.lax.cond(m > 0, do_prefill, lambda kv: kv, kv)
+        return f
+
+    sizes = [s for s in (64, 128, 256) if s < max_new] + [max_new]
+    thresholds = [0] + sizes[:-1]
+    bucket = sum((m > t).astype(jnp.int32) for t in thresholds)
+    kv = jax.lax.switch(
+        bucket, [lambda kv: kv] + [prefill_sized(s) for s in sizes], kv
+    )
 
     # ---- 4. decode rounds + on-device result accumulation ----
     # Per-round results are collected as DENSE scan outputs and scattered
@@ -432,8 +447,15 @@ class AutonomousEngine:
             else:
                 prev_status = None
         with phase("drain_fetch"):
-            out_tokens = np.asarray(st.out_tokens)
-            final_lens = np.asarray(st.final_lens)
+            # one fetch, not two: every np.asarray is its own ~30ms RPC on
+            # this transport, so concatenate on device (cheap copy) first
+            packed = jnp.concatenate(
+                [st.out_tokens,
+                 st.final_lens[:, None].astype(st.out_tokens.dtype)],
+                axis=1,
+            )
+            packed = np.asarray(packed)
+            out_tokens, final_lens = packed[:, :-1], packed[:, -1]
         total = 0
         for i, req in enumerate(requests):
             fl = int(final_lens[i])
