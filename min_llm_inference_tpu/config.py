@@ -72,7 +72,9 @@ class EngineConfig:
     page_size: int = DEFAULT_PAGE_SIZE
     n_pages: int = 256  # total pages in the device pool
     init_num_pages: int = DEFAULT_INIT_NUM_BLOCKS
-    # KV cache dtype may differ from compute dtype (e.g. int8 KV).
+    # KV cache dtype may differ from compute dtype: float32 | bfloat16 |
+    # int8 (per-page scales) | int4 (per-page scales, two nibbles packed
+    # per int8 byte — the pool's feature width is emb_dim/2).
     kv_dtype: str = "float32"
     # Max new requests prefilled per jitted prefill call; n_new is padded up
     # to this (static shape), larger batches loop. Keeps one compilation.
@@ -88,7 +90,19 @@ class EngineConfig:
 
     @property
     def kv_jax_dtype(self):
+        # int4 KV is stored packed two-per-byte in an int8 pool (the int4
+        # dtype itself does not materialize on this toolchain)
+        if self.kv_dtype == "int4":
+            return jnp.dtype(jnp.int8)
         return jnp.dtype(self.kv_dtype)
+
+    @property
+    def kv_packed(self) -> bool:
+        return self.kv_dtype == "int4"
+
+    @property
+    def kv_quantized(self) -> bool:
+        return self.kv_dtype in ("int8", "int4")
 
     def pages_per_slot(self, n_seq: int) -> int:
         """Width of a page-table row (reference: n_sequence/PAGE_BLOCK_SIZE,

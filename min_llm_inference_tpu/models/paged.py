@@ -43,7 +43,10 @@ import jax.numpy as jnp
 from ..config import EngineConfig, ModelConfig
 from ..ops.quant import (
     dequantize_rows,
+    kv_qmax,
+    pack_int4_rows,
     quantize_rows_against_pages,
+    unpack_int4,
     update_page_scales,
 )
 from ..ops.reference import masked_attention
@@ -62,11 +65,13 @@ class PagedKVState(NamedTuple):
 
 
 def init_paged_state(model_cfg: ModelConfig, engine_cfg: EngineConfig) -> PagedKVState:
-    shape = (engine_cfg.n_pages, 2, engine_cfg.page_size, model_cfg.emb_dim)
+    # int4 pools store two nibbles per int8 byte -> half the feature width
+    feat = model_cfg.emb_dim // 2 if engine_cfg.kv_packed else model_cfg.emb_dim
+    shape = (engine_cfg.n_pages, 2, engine_cfg.page_size, feat)
     dtype = engine_cfg.kv_jax_dtype
     L = model_cfg.n_layers
     kv = tuple(jnp.zeros(shape, dtype) for _ in range(L))
-    if engine_cfg.kv_dtype == "int8":
+    if engine_cfg.kv_quantized:
         ks = tuple(jnp.zeros((engine_cfg.n_pages,), jnp.float32) for _ in range(L))
         vs = tuple(jnp.zeros((engine_cfg.n_pages,), jnp.float32) for _ in range(L))
         return PagedKVState(kv, ks, vs)
@@ -110,11 +115,13 @@ def _scatter_kv(pool, flat_idx, k, v):
 
 
 def _write_kv_tokens(pool, k_scales, v_scales, flat_idx, k, v, fresh_pid,
-                     scale_reduce=None):
-    """Scatter K and V token rows into the pool (one pass). For int8 pools,
-    pages listed in fresh_pid (their row 0 is among these writes) get their
-    scale reset from that row's absmax (see quant.update_page_scales); all
-    rows quantize against the resulting per-page scales.
+                     scale_reduce=None, n_heads: int = 1):
+    """Scatter K and V token rows into the pool (one pass). For int8/int4
+    pools, pages listed in fresh_pid (their row 0 is among these writes)
+    get their scale reset from that row's absmax (see
+    quant.update_page_scales); all rows quantize against the resulting
+    per-page scales. int4 pools (feature width D/2) pack two nibbles per
+    byte after quantization.
 
     fresh_pid: [N] page id per row if that row starts its page, else OOB.
     scale_reduce: cross-rank absmax reduce under tp (see update_page_scales).
@@ -122,10 +129,15 @@ def _write_kv_tokens(pool, k_scales, v_scales, flat_idx, k, v, fresh_pid,
     if k_scales is None:
         return _scatter_kv(pool, flat_idx, k, v), None, None
     P = pool.shape[2]
-    k_scales = update_page_scales(k_scales, k, fresh_pid, scale_reduce)
-    v_scales = update_page_scales(v_scales, v, fresh_pid, scale_reduce)
-    qk = quantize_rows_against_pages(k, flat_idx, k_scales, P)
-    qv = quantize_rows_against_pages(v, flat_idx, v_scales, P)
+    packed = pool.shape[-1] * 2 == k.shape[-1]
+    qmax = kv_qmax(packed)
+    k_scales = update_page_scales(k_scales, k, fresh_pid, scale_reduce, qmax)
+    v_scales = update_page_scales(v_scales, v, fresh_pid, scale_reduce, qmax)
+    qk = quantize_rows_against_pages(k, flat_idx, k_scales, P, qmax)
+    qv = quantize_rows_against_pages(v, flat_idx, v_scales, P, qmax)
+    if packed:
+        qk = pack_int4_rows(qk, n_heads)
+        qv = pack_int4_rows(qv, n_heads)
     return _scatter_kv(pool, flat_idx, qk, qv), k_scales, v_scales
 
 
@@ -174,6 +186,7 @@ def make_prefill_kv_writer(
     page_size: int,
     n_pages: int,
     scale_reduce=None,
+    n_heads: int = 1,  # for int4 nibble packing (per-head halves)
 ):
     """Build the write_kv_block callback for prefill_write_kv over this
     paged state. Prefill writes whole pages starting at their row 0, so the
@@ -243,12 +256,39 @@ def make_prefill_kv_writer(
                     kv_pages[li], flat_idx, k.reshape(-1, D), v.reshape(-1, D)
                 )
             return
+        packed = kv_pages[li].shape[-1] * 2 == D
+        qmax = kv_qmax(packed)
         k_scales[li] = update_page_scales(
-            k_scales[li], k[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
+            k_scales[li], k[:, ::P].reshape(-1, D), fresh_pid, scale_reduce,
+            qmax,
         )
         v_scales[li] = update_page_scales(
-            v_scales[li], v[:, ::P].reshape(-1, D), fresh_pid, scale_reduce
+            v_scales[li], v[:, ::P].reshape(-1, D), fresh_pid, scale_reduce,
+            qmax,
         )
+        if packed:
+            # quantize to nibble range, pack two-per-byte, window-scatter
+            # the packed [P, D/2] pages (the fused Pallas prefill kernel is
+            # int8-only; packed blocks are half the bytes anyway)
+            if paged_write:
+                qk = _quantize_block_per_page(k, k_scales[li], safe_pid, P, qmax)
+                qv = _quantize_block_per_page(v, v_scales[li], safe_pid, P, qmax)
+                kv_pages[li] = scatter_pages(
+                    kv_pages[li],
+                    pack_int4_rows(qk, n_heads), pack_int4_rows(qv, n_heads),
+                )
+            else:
+                qk = quantize_rows_against_pages(
+                    k.reshape(-1, D), flat_idx, k_scales[li], P, qmax
+                )
+                qv = quantize_rows_against_pages(
+                    v.reshape(-1, D), flat_idx, v_scales[li], P, qmax
+                )
+                kv_pages[li] = _scatter_kv(
+                    kv_pages[li], flat_idx,
+                    pack_int4_rows(qk, n_heads), pack_int4_rows(qv, n_heads),
+                )
+            return
         if paged_write:
             interpret = jax.default_backend() == "cpu"
             if interpret or (P % 32 == 0 and D % 128 == 0):
@@ -287,7 +327,8 @@ def make_prefill_kv_writer(
     return write_kv_block, finalize
 
 
-def _quantize_block_per_page(x, page_scales, safe_pid, page_size):
+def _quantize_block_per_page(x, page_scales, safe_pid, page_size,
+                             qmax=127.0):
     """Quantize a [M, W_pre*P, D] prefill block against per-page scales
     gathered at safe_pid [M, W_pre]."""
     M, S, D = x.shape
@@ -296,7 +337,7 @@ def _quantize_block_per_page(x, page_scales, safe_pid, page_size):
     inv = jnp.where(s > 0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
     xf = x.reshape(M, W_pre, page_size, D).astype(jnp.float32)
     q = jnp.clip(
-        jnp.round(xf * inv[:, :, None, None]), -127.0, 127.0
+        jnp.round(xf * inv[:, :, None, None]), -qmax, qmax
     ).astype(jnp.int8)
     return q.reshape(M, S, D)
 
@@ -326,7 +367,8 @@ def _prefill(
     M, S = prompts.shape
     scale_reduce = ctx.pmax if ctx.tp > 1 else None
     write_kv_block, finalize = make_prefill_kv_writer(
-        state, page_rows, prompt_lengths, S, P, NP, scale_reduce
+        state, page_rows, prompt_lengths, S, P, NP, scale_reduce,
+        n_heads=ctx.local_heads(model_cfg),
     )
     prefill_write_kv(
         params, model_cfg, prompts, prompt_lengths, write_kv_block, ctx
@@ -337,6 +379,10 @@ def _prefill(
 def jnp_paged_attend(pool, ks, vs, q, lengths, page_table, page_size, n_heads):
     """The gather-based (oracle) paged attention for one layer."""
     kctx, vctx = gather_kv_context(pool, page_table, page_size)
+    if pool.shape[-1] * 2 == q.shape[-1]:
+        # packed int4 pool: two nibbles per byte, per-head lo/hi halves
+        kctx = unpack_int4(kctx, n_heads)
+        vctx = unpack_int4(vctx, n_heads)
     if ks is not None:
         kctx = dequantize_rows(kctx, gather_scales(ks, page_table, page_size))
         vctx = dequantize_rows(vctx, gather_scales(vs, page_table, page_size))
@@ -370,8 +416,12 @@ def make_attend_impl(model_cfg: ModelConfig, engine_cfg: EngineConfig,
                 pages_per_dma=(
                     engine_cfg.pages_per_dma if contiguous_pages else None
                 ),
+                packed_int4=engine_cfg.kv_packed,
             )
         else:
+            assert not engine_cfg.kv_packed, (
+                "int4 KV is supported by attention='grouped' or 'jnp' only"
+            )
             from ..ops.paged_attention import paged_decode_attention as kernel
 
         def attend(pool, ks, vs, q, lens):
@@ -429,6 +479,8 @@ def make_round_kv_callbacks(
         interpret = jax.default_backend() == "cpu"
         pending = {}
 
+        qmax = kv_qmax(engine_cfg.kv_packed)
+
         def write_kv(li, pos_, k, v, live_):
             if "kvwrite" in ablate:
                 # profiling knockout (tools/burst_ablate.py): kernel runs
@@ -437,10 +489,10 @@ def make_round_kv_callbacks(
                 return
             if k_scales[li] is not None and "scales" not in ablate:
                 k_scales[li] = update_page_scales(
-                    k_scales[li], k, fresh_pid, scale_reduce
+                    k_scales[li], k, fresh_pid, scale_reduce, qmax
                 )
                 v_scales[li] = update_page_scales(
-                    v_scales[li], v, fresh_pid, scale_reduce
+                    v_scales[li], v, fresh_pid, scale_reduce, qmax
                 )
             pending[li] = (k, v)
 
@@ -454,6 +506,7 @@ def make_round_kv_callbacks(
                 pages_per_dma=(
                     engine_cfg.pages_per_dma if contiguous_pages else None
                 ),
+                packed_int4=engine_cfg.kv_packed,
                 interpret=interpret,
             )
             if k is not None:
@@ -473,7 +526,7 @@ def make_round_kv_callbacks(
             return
         kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
             kv_pages[li], k_scales[li], v_scales[li],
-            flat_idx, k, v, fresh_pid, scale_reduce,
+            flat_idx, k, v, fresh_pid, scale_reduce, n_heads=heads,
         )
 
     def attend(li, q, lens):

@@ -52,6 +52,7 @@ def _grouped_kernel(
     quantized: bool,
     fused_write: bool = False,
     pages_per_dma: int = 1,
+    packed_int4: bool = False,
     mask_value: float = MASK_VALUE,
 ):
     G = group_size
@@ -88,6 +89,9 @@ def _grouped_kernel(
     # fetched so its masked columns never read unfetched (possibly NaN)
     # bytes, which would poison the 0-weight PV dot.
     page_exact = kv_buf.dtype == jnp.int8
+    # packed int4: pool feature width is dh*H/2 (two nibbles per byte,
+    # per-head lo/hi halves); unpacking is a concat of the nibble planes
+    dkv = kv_buf.shape[5]
 
     def make_copies(g_, i_, buf_idx):
         # the same predicate gates start and wait, so semaphore counts
@@ -223,9 +227,21 @@ def _grouped_kernel(
                             inv = jnp.where(
                                 s > 0, 1.0 / jnp.maximum(s, 1e-30), 0.0
                             )
+                            qmax = 7.0 if packed_int4 else 127.0
                             row = jnp.clip(
-                                jnp.round(row * inv), -127.0, 127.0
+                                jnp.round(row * inv), -qmax, qmax
                             )
+                        if packed_int4:
+                            # arithmetic pack per head: byte = 16*hi + lo
+                            # (both in [-7, 7]; f32 math, integer-exact)
+                            dh_full = row.shape[1] // n_heads
+                            parts = []
+                            for h in range(n_heads):
+                                lo = row[:, h * dh_full : h * dh_full + dh_full // 2]
+                                hi = row[:, h * dh_full + dh_full // 2 : (h + 1) * dh_full]
+                                parts.append(16.0 * hi + lo)
+                            row = (parts[0] if n_heads == 1
+                                   else jnp.concatenate(parts, axis=1))
                         # Mosaic requires sublane indices provably 8-aligned:
                         # update the 8-row tile containing r with a masked
                         # select (cheaper than a full-page where; a raw
@@ -256,6 +272,17 @@ def _grouped_kernel(
 
         q_all = q_ref[...].astype(jnp.float32)   # [G*H, dh]
         dh = q_all.shape[-1]
+        if packed_int4:
+            # query transform matching head_block's [byte, hi] planes
+            # (each q row is ONE head's dh-vector): q_eff = [q_a | q_b -
+            # 16 q_a], so that q_eff . [16 hi + lo | hi] == q_a.lo + q_b.hi
+            dhp_q = dh // 2
+            q_a = q_all[:, :dhp_q]
+            q_eff = jnp.concatenate(
+                [q_a, q_all[:, dhp_q:] - 16.0 * q_a], axis=1
+            )
+        else:
+            q_eff = q_all
 
         # Dequantization is folded into SCORE columns instead of the KV
         # blocks: per page, q.(s*K)^T == s*(q.K^T) column-wise and
@@ -265,8 +292,26 @@ def _grouped_kernel(
         # the softmax stats) and the per-page [P, D] VPU multiplies —
         # letting group_size/ppcb (and the per-step DMA batch) grow ~4x.
         def raw_block(j, side):
-            blk = kv_buf[buffer_index, j, :, side]     # [ppcb, P, D] raw
-            return blk.reshape(bk, dh * H).astype(jnp.float32)
+            blk = kv_buf[buffer_index, j, :, side]     # [ppcb, P, dkv] raw
+            return blk.reshape(bk, dkv)
+
+        def head_block(blk, h):
+            """Head h's [bk, dh] f32 operand. int8 pools: a plain slice.
+            int4 pools (arithmetic packing byte = 16*hi + lo): the PLANES
+            [byte, hi] — three vector ops (convert, scale, round); the lo
+            plane is never materialized. Consumers compensate: QK uses the
+            transformed query [q_a | q_b - 16 q_a] (so q_eff . planes ==
+            q_a.lo + q_b.hi) and PV un-mixes its output columns
+            (t1 - 16 t2 | t2)."""
+            if not packed_int4:
+                return blk[:, h * dh : (h + 1) * dh].astype(jnp.float32)
+            dhp = dh // 2
+            bf = blk[:, h * dhp : (h + 1) * dhp].astype(jnp.float32)
+            # floor(b/16 + 1/2) == round(b/16) exactly here (|lo| <= 7, so
+            # the fraction never hits 1/2); floor is one Mosaic op while
+            # round-nearest-even expands
+            hi = jnp.floor(bf * (1.0 / 16.0) + 0.5)
+            return jnp.concatenate([bf, hi], axis=1)
 
         def scale_rows(scales_ref):
             # [G, bk] f32: column t of row j carries the scale of the page
@@ -298,8 +343,8 @@ def _grouped_kernel(
             for h in range(H):
                 qk_rows.append(
                     lax.dot_general(
-                        q_all[j * H + h : j * H + h + 1],
-                        kb[:, h * dh : (h + 1) * dh],
+                        q_eff[j * H + h : j * H + h + 1],
+                        head_block(kb, h),
                         (((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
@@ -361,14 +406,19 @@ def _grouped_kernel(
         for j in range(G):
             vb = raw_block(j, 1)
             for h in range(H):
-                o_rows.append(
-                    lax.dot_general(
-                        s_eff[(j * H + h) : (j * H + h + 1), :],
-                        vb[:, h * dh : (h + 1) * dh],
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
+                t = lax.dot_general(
+                    s_eff[(j * H + h) : (j * H + h + 1), :],
+                    head_block(vb, h),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
                 )
+                if packed_int4:
+                    # planes were [byte, hi] = [16 hi + lo, hi]: un-mix to
+                    # [probs.lo | probs.hi]
+                    dhp_o = dh // 2
+                    t2 = t[:, dhp_o:]
+                    t = jnp.concatenate([t[:, :dhp_o] - 16.0 * t2, t2], axis=1)
+                o_rows.append(t)
         # same stale-bytes guard: s_eff rows are zero for inactive rows but
         # 0-dot-NaN is NaN, so mask the product rows explicitly
         o_curr = jnp.where(
@@ -441,7 +491,8 @@ def _best_ppcb(w, g, page_size, d, kv_bytes):
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "group_size", "pages_per_compute_block",
-                     "contiguous_pages", "pages_per_dma", "interpret"),
+                     "contiguous_pages", "pages_per_dma", "packed_int4",
+                     "interpret"),
 )
 def paged_decode_attention_grouped(
     q,            # [B, D]
@@ -458,6 +509,7 @@ def paged_decode_attention_grouped(
     pages_per_compute_block: int | None = None,
     contiguous_pages: bool = False,
     pages_per_dma: int | None = None,
+    packed_int4: bool = False,
     interpret: bool = False,
 ):
     """Grouped paged decode attention; with k_new/v_new the decode KV write
@@ -469,13 +521,15 @@ def paged_decode_attention_grouped(
     decoder.cu:69-90)."""
     B, D = q.shape
     NP, two, P, Dk = kv_pages.shape
-    assert two == 2 and Dk == D
+    assert two == 2 and Dk == (D // 2 if packed_int4 else D)
     W = page_table.shape[1]
     dh = D // n_heads
-    auto_g, auto_c = _choose_group(B, W, P, D, kv_pages.dtype.itemsize)
+    if packed_int4:
+        assert dh % 2 == 0 and k_scales is not None
+    auto_g, auto_c = _choose_group(B, W, P, Dk, kv_pages.dtype.itemsize)
     G = group_size or auto_g
     ppcb = pages_per_compute_block or (auto_c if group_size is None else
-                                       _best_ppcb(W, G, P, D, kv_pages.dtype.itemsize))
+                                       _best_ppcb(W, G, P, Dk, kv_pages.dtype.itemsize))
     assert B % G == 0 and W % ppcb == 0
     assert G * n_heads >= 8, "need >=8 rows per block for TPU sublane tiling"
     quantized = k_scales is not None
@@ -523,7 +577,7 @@ def paged_decode_attention_grouped(
     scratch = [
         pltpu.VMEM((G * n_heads, dh), jnp.float32),  # m
         pltpu.VMEM((G * n_heads, dh), jnp.float32),  # l
-        pltpu.VMEM((2, G, ppcb, 2, P, D), kv_pages.dtype),
+        pltpu.VMEM((2, G, ppcb, 2, P, Dk), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     io_aliases = {}
@@ -548,6 +602,7 @@ def paged_decode_attention_grouped(
             quantized=quantized,
             fused_write=fused_write,
             pages_per_dma=ppd,
+            packed_int4=packed_int4,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalar_args),

@@ -15,6 +15,53 @@ import jax
 import jax.numpy as jnp
 
 INT8_MAX = 127.0
+INT4_MAX = 7.0
+
+
+def kv_qmax(packed: bool) -> float:
+    """Quantization range of a KV pool: int8 rows, or int4 nibbles packed
+    two-per-byte (kv_dtype="int4")."""
+    return INT4_MAX if packed else INT8_MAX
+
+
+def pack_int4_rows(q, n_heads: int):
+    """Pack int-valued rows (each in [-7, 7] — the int4 qmax range) two
+    values per byte, ARITHMETICALLY: byte = 16*hi + lo, which stays inside
+    int8 ([-119, 119]) because |lo|,|hi| <= 7.
+
+    Packing is PER HEAD: for head h (width dh), byte c of the packed head
+    block (width dh/2) holds feature h*dh+c as its lo value and feature
+    h*dh+c+dh/2 as its hi value. Unpacking is a concat of the two value
+    planes — no lane interleave, which Mosaic cannot express (pltpu.repeat
+    tiles, it does not interleave; CLAUDE.md). The arithmetic encoding
+    (vs bit-packing) lets the decode kernel recover the planes with THREE
+    vector ops (convert, scale, round) and fold the lo-plane recovery into
+    the query via q_a.lo + q_b.hi == q_a.byte + (q_b - 16 q_a).hi.
+
+    q: [..., D] integer-valued float/int -> [..., D/2] int8.
+    """
+    d = q.shape[-1]
+    dh = d // n_heads
+    assert dh % 2 == 0
+    qi = q.astype(jnp.int32)
+    heads = qi.reshape(*q.shape[:-1], n_heads, dh)
+    lo = heads[..., : dh // 2]
+    hi = heads[..., dh // 2 :]
+    packed = (16 * hi + lo).astype(jnp.int8)
+    return packed.reshape(*q.shape[:-1], d // 2)
+
+
+def unpack_int4(packed, n_heads: int):
+    """Inverse of pack_int4_rows: [..., D/2] int8 -> [..., D] f32 with
+    integer values in [-7, 7] (dequantize by multiplying the page scale).
+    hi = round(byte/16) is exact: the lo remainder is at most 7/16 < 1/2."""
+    dp = packed.shape[-1]
+    dhp = dp // n_heads
+    b = packed.astype(jnp.float32).reshape(*packed.shape[:-1], n_heads, dhp)
+    hi = jnp.round(b * (1.0 / 16.0))
+    lo = b - 16.0 * hi
+    out = jnp.concatenate([lo, hi], axis=-1)
+    return out.reshape(*packed.shape[:-1], 2 * dp)
 
 
 def quantize_rows(x):
@@ -39,9 +86,10 @@ def dequantize_rows(q, scales):
 PAGE_SCALE_HEADROOM = 2.0
 
 
-def update_page_scales(page_scales, rows, row_pid, absmax_reduce=None):
+def update_page_scales(page_scales, rows, row_pid, absmax_reduce=None,
+                       qmax=INT8_MAX):
     """(Re)set the scale of freshly-started pages from their row-0 write:
-    scale = absmax(row) * PAGE_SCALE_HEADROOM / 127.
+    scale = absmax(row) * PAGE_SCALE_HEADROOM / qmax (127 int8, 7 int4).
 
     rows: [N, D]; row_pid: [N] target page per row, OOB = no update. Valid
     row_pids must be unique within the call (each page has ONE row 0 —
@@ -56,11 +104,12 @@ def update_page_scales(page_scales, rows, row_pid, absmax_reduce=None):
     absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
     if absmax_reduce is not None:
         absmax = absmax_reduce(absmax)
-    cand = absmax * (PAGE_SCALE_HEADROOM / INT8_MAX)
+    cand = absmax * (PAGE_SCALE_HEADROOM / qmax)
     return page_scales.at[row_pid].set(cand, mode="drop")
 
 
-def quantize_rows_against_pages(values, flat_idx, page_scales, page_size):
+def quantize_rows_against_pages(values, flat_idx, page_scales, page_size,
+                                qmax=INT8_MAX):
     """Quantize token rows against their page's (already-updated) scale.
     Rows exceeding the page scale clip — PAGE_SCALE_HEADROOM leaves room.
     values: [N, D]; flat_idx: [N] token index (page*P + row, OOB ok)."""
@@ -69,7 +118,7 @@ def quantize_rows_against_pages(values, flat_idx, page_scales, page_size):
     inv = jnp.where(s_row > 0, 1.0 / jnp.maximum(s_row, 1e-30), 0.0)
     vf = values.astype(jnp.float32)
     return jnp.clip(
-        jnp.round(vf * inv[:, None]), -INT8_MAX, INT8_MAX
+        jnp.round(vf * inv[:, None]), -qmax, qmax
     ).astype(jnp.int8)
 
 

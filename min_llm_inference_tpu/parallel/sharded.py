@@ -171,7 +171,8 @@ def state_pspecs(model_cfg: ModelConfig, quantized: bool):
 def init_sharded_state(
     model_cfg: ModelConfig, engine_cfg: EngineConfig, mesh: Mesh
 ) -> PagedKVState:
-    shape = (engine_cfg.n_pages, 2, engine_cfg.page_size, model_cfg.emb_dim)
+    feat = model_cfg.emb_dim // 2 if engine_cfg.kv_packed else model_cfg.emb_dim
+    shape = (engine_cfg.n_pages, 2, engine_cfg.page_size, feat)
     dtype = engine_cfg.kv_jax_dtype
     nl = model_cfg.n_layers
     kv_sharding = NamedSharding(mesh, KV_SPEC)
@@ -179,7 +180,7 @@ def init_sharded_state(
         jax.device_put(jnp.zeros(shape, dtype), kv_sharding)
         for _ in range(nl)
     )
-    if engine_cfg.kv_dtype == "int8":
+    if engine_cfg.kv_quantized:
         s_sharding = NamedSharding(mesh, SCALE_SPEC)
         mk = lambda: jax.device_put(
             jnp.zeros((engine_cfg.n_pages,), jnp.float32), s_sharding
@@ -210,7 +211,7 @@ def make_sharded_fns(
         n_pages=engine_cfg.n_pages // dp,
     )
     ctx = TpShardCtx(tp)
-    quantized = engine_cfg.kv_dtype == "int8"
+    quantized = engine_cfg.kv_quantized
     st_specs = state_pspecs(model_cfg, quantized)
 
     def decode_wrapper(params, state, sched_packed, lengths, last_tokens):

@@ -166,7 +166,8 @@ def _autonomous_burst(
     def prefill_sized(bs):
         def f(kv):
             write_kv_block, finalize = make_prefill_kv_writer(
-                kv, granted[:bs], plens[:bs], S_pre, P, NP
+                kv, granted[:bs], plens[:bs], S_pre, P, NP,
+                n_heads=model_cfg.n_heads,
             )
             prefill_write_kv(
                 params, model_cfg, prompts[:bs], plens[:bs], write_kv_block

@@ -76,7 +76,7 @@ def teacher_forced_nll(
             v = feed_forward(x, layer["wv"])
             kv_pages[li], k_scales[li], v_scales[li] = _write_kv_tokens(
                 kv_pages[li], k_scales[li], v_scales[li],
-                flat_idx, k, v, fresh_pid,
+                flat_idx, k, v, fresh_pid, n_heads=model_cfg.n_heads,
             )
             attn = jnp_paged_attend(
                 kv_pages[li], k_scales[li], v_scales[li], q, ctx_len,
@@ -109,6 +109,29 @@ def perplexity(params, model_cfg, engine_cfg, tokens, lengths) -> float:
     return float(np.exp(nll.sum() / max(total, 1)))
 
 
+def delta_ppl_kv(
+    params,
+    model_cfg: ModelConfig,
+    engine_cfg: EngineConfig,
+    tokens: np.ndarray,
+    lengths: np.ndarray,
+    kv_dtype: str = "int8",
+) -> dict:
+    """PPL with full-precision KV vs quantized (int8/int4) paged KV on the
+    same sequences. Returns {"ppl_ref", "ppl_q", "delta_ppl"}."""
+    import dataclasses
+
+    ref_cfg = dataclasses.replace(engine_cfg, kv_dtype=model_cfg.dtype)
+    q_cfg = dataclasses.replace(engine_cfg, kv_dtype=kv_dtype)
+    ppl_ref = perplexity(params, model_cfg, ref_cfg, tokens, lengths)
+    ppl_q = perplexity(params, model_cfg, q_cfg, tokens, lengths)
+    return {
+        "ppl_ref": ppl_ref,
+        "ppl_q": ppl_q,
+        "delta_ppl": ppl_q - ppl_ref,
+    }
+
+
 def delta_ppl_int8_kv(
     params,
     model_cfg: ModelConfig,
@@ -118,14 +141,9 @@ def delta_ppl_int8_kv(
 ) -> dict:
     """PPL with full-precision KV vs INT8 paged KV on the same sequences.
     Returns {"ppl_ref", "ppl_int8", "delta_ppl"}."""
-    import dataclasses
-
-    ref_cfg = dataclasses.replace(engine_cfg, kv_dtype=model_cfg.dtype)
-    int8_cfg = dataclasses.replace(engine_cfg, kv_dtype="int8")
-    ppl_ref = perplexity(params, model_cfg, ref_cfg, tokens, lengths)
-    ppl_int8 = perplexity(params, model_cfg, int8_cfg, tokens, lengths)
+    r = delta_ppl_kv(params, model_cfg, engine_cfg, tokens, lengths, "int8")
     return {
-        "ppl_ref": ppl_ref,
-        "ppl_int8": ppl_int8,
-        "delta_ppl": ppl_int8 - ppl_ref,
+        "ppl_ref": r["ppl_ref"],
+        "ppl_int8": r["ppl_q"],
+        "delta_ppl": r["delta_ppl"],
     }

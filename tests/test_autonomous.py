@@ -55,12 +55,17 @@ def test_autonomous_matches_host_engine(params, rng):
     assert c.total_tokens == gen > 0
 
 
-@pytest.mark.parametrize("attention", ["pallas", "grouped"])
-@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+@pytest.mark.parametrize("attention,kv_dtype", [
+    ("pallas", "float32"), ("pallas", "int8"),
+    ("grouped", "float32"), ("grouped", "int8"),
+    # packed int4: grouped kernel unpacks the nibble planes exactly like
+    # the jnp oracle's unpack_int4 -> token-exact
+    ("grouped", "int4"),
+])
 def test_autonomous_kernel_impls_match_jnp(params, rng, attention, kv_dtype):
     """Fused-kernel attention (one-slot and grouped grids) must be
     token-exact with the jnp gather oracle inside the same engine, fp and
-    int8 (identical quantized pages -> identical dequant math)."""
+    int8/int4 (identical quantized pages -> identical dequant math)."""
     n = 12
     cfg = EngineConfig(
         n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=2,

@@ -146,3 +146,35 @@ def test_int8_engine_end_to_end(attention, rng):
         agree += sum(1 for x, y in zip(a[:m], b[:m]) if x == y)
         total += m
     assert agree / total > 0.9, f"token agreement {agree}/{total}"
+
+
+def test_int4_pack_unpack_roundtrip(rng):
+    """pack_int4_rows/unpack_int4 are exact inverses on [-7, 7] ints (the
+    int4 qmax range; arithmetic byte = 16*hi + lo), for 1 and multiple
+    heads (per-head lo/hi-half layout)."""
+    from min_llm_inference_tpu.ops.quant import pack_int4_rows, unpack_int4
+
+    for heads in (1, 4):
+        x = rng.integers(-7, 8, (9, 64)).astype(np.float32)
+        packed = pack_int4_rows(jnp.asarray(x), heads)
+        assert packed.shape == (9, 32) and packed.dtype == jnp.int8
+        back = np.asarray(unpack_int4(packed, heads))
+        np.testing.assert_array_equal(back, x)
+
+
+def test_delta_ppl_int4_kv_reported(rng):
+    """int4 KV quality harness runs; the looser 4-bit grid is allowed a
+    wider (but still bounded) PPL delta than int8's 0.1."""
+    from min_llm_inference_tpu.utils.quality import delta_ppl_kv
+    from min_llm_inference_tpu import init_params
+
+    model = ModelConfig(n_vocab=256, emb_dim=64, n_seq=32, n_heads=2,
+                        n_layers=2, ffn_dim=128, use_output_proj=True,
+                        use_layernorm=True, eof_token_id=255)
+    engine = EngineConfig(n_slots=8, n_pages=16, page_size=16)
+    params = init_params(jax.random.PRNGKey(0), model)
+    tokens = rng.integers(0, 255, (8, 32)).astype(np.int32)
+    lengths = rng.integers(8, 33, 8).astype(np.int32)
+    res = delta_ppl_kv(params, model, engine, tokens, lengths, "int4")
+    assert np.isfinite(res["ppl_q"]) and np.isfinite(res["ppl_ref"])
+    assert abs(res["delta_ppl"]) <= 0.5, res

@@ -113,8 +113,12 @@ def test_sharded_matches_unsharded(dp, tp):
     np.testing.assert_array_equal(np.asarray(u_last), np.asarray(s_last))
 
 
-@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
-@pytest.mark.parametrize("attention", ["jnp", "pallas", "grouped"])
+@pytest.mark.parametrize("kv_dtype,attention", [
+    ("float32", "jnp"), ("float32", "pallas"), ("float32", "grouped"),
+    ("int8", "jnp"), ("int8", "pallas"), ("int8", "grouped"),
+    # packed int4 KV: per-head nibble halves pack rank-locally under tp
+    ("int4", "jnp"), ("int4", "grouped"),
+])
 def test_sharded_matrix_kv_dtype_x_attention(kv_dtype, attention):
     """The full feature matrix on the mesh: int8 per-page scales (pmax'd
     over tp to the full-row absmax) and the fused Pallas kernels inside
