@@ -53,6 +53,7 @@ def _grouped_kernel(
     fused_write: bool = False,
     pages_per_dma: int = 1,
     packed_int4: bool = False,
+    batched_heads: bool = False,
     mask_value: float = MASK_VALUE,
 ):
     G = group_size
@@ -64,12 +65,17 @@ def _grouped_kernel(
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
          *rest) = refs
         k_scales_ref = v_scales_ref = None
+    q_ref, *rest = rest
+    if batched_heads:
+        q2_ref, *rest = rest   # [G, D] row-per-slot view of the same q
+    else:
+        q2_ref = None
     if fused_write:
-        (q_ref, len_col_ref, pages_hbm, kn_ref, vn_ref,
+        (len_col_ref, pages_hbm, kn_ref, vn_ref,
          o_ref, pages_out, m_scratch, l_scratch, kv_buf, kv_sem,
          w_sem) = rest
     else:
-        (q_ref, len_col_ref, pages_hbm,
+        (len_col_ref, pages_hbm,
          o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = rest
         kn_ref = vn_ref = pages_out = w_sem = None
 
@@ -338,17 +344,38 @@ def _grouped_kernel(
         # per-slot QK^T dots (different K per slot); conversion temps are
         # transient per dot, not held across the flash stats
         qk_rows = []
-        for j in range(G):
-            kb = raw_block(j, 0)
-            for h in range(H):
+        if batched_heads:
+            # Head-batched scores: H per-head [1, dh] x [dh, bk] dots per
+            # slot collapse into ONE [bk, D] elementwise product and ONE
+            # block-sum dot against the head-selector matrix M [D, H]
+            # (M[c, h] = 1 iff feature c belongs to head h):
+            #   (M^T . (K ⊙ q)^T)[h, t] = sum_c q[c] K[t, c] [c in head h]
+            # Cuts the per-call dot count G*H-fold (the multihead kernel's
+            # measured fixed cost: 12,288 tiny dots/call at gpt2s shapes).
+            feat = lax.broadcasted_iota(jnp.int32, (dh * H, H), 0) // dh
+            hsel = lax.broadcasted_iota(jnp.int32, (dh * H, H), 1)
+            m_mat = (feat == hsel).astype(jnp.float32)
+            for j in range(G):
+                kb = raw_block(j, 0).astype(jnp.float32)
+                p = kb * q2_ref[j : j + 1, :].astype(jnp.float32)
                 qk_rows.append(
                     lax.dot_general(
-                        q_eff[j * H + h : j * H + h + 1],
-                        head_block(kb, h),
-                        (((1,), (1,)), ((), ())),
+                        m_mat, p, (((0,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
-                )
+                )  # [H, bk]
+        else:
+            for j in range(G):
+                kb = raw_block(j, 0)
+                for h in range(H):
+                    qk_rows.append(
+                        lax.dot_general(
+                            q_eff[j * H + h : j * H + h + 1],
+                            head_block(kb, h),
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
         qk = jnp.concatenate(qk_rows, axis=0) * (dh ** -0.5)  # [G*H, bk]
         if quantized:
             qk = qk * scale_rows(k_scales_ref)
@@ -403,22 +430,55 @@ def _grouped_kernel(
 
         s_eff = s_curr * scale_rows(v_scales_ref) if quantized else s_curr
         o_rows = []
-        for j in range(G):
-            vb = raw_block(j, 1)
-            for h in range(H):
-                t = lax.dot_general(
-                    s_eff[(j * H + h) : (j * H + h + 1), :],
-                    head_block(vb, h),
+        if batched_heads:
+            # one [H, bk] x [bk, D] dot per slot; the per-head outputs are
+            # the diagonal dh-blocks of the result. Extracting them by
+            # slicing produces lane-misaligned [1, dh] pieces Mosaic cannot
+            # concat ("offset mismatch on non-concat dimension"), so fold
+            # them with a second masked dot instead: zero the off-diagonal
+            # blocks, then contract with a [D, dh] stack of identities —
+            # an aligned [H, dh] block per slot.
+            rowmask = (
+                lax.broadcasted_iota(jnp.int32, (H, dh * H), 1) // dh
+                == lax.broadcasted_iota(jnp.int32, (H, dh * H), 0)
+            ).astype(jnp.float32)
+            fold = (
+                lax.broadcasted_iota(jnp.int32, (dh * H, dh), 0) % dh
+                == lax.broadcasted_iota(jnp.int32, (dh * H, dh), 1)
+            ).astype(jnp.float32)
+            for j in range(G):
+                vb = raw_block(j, 1).astype(jnp.float32)
+                r = lax.dot_general(
+                    s_eff[j * H : (j + 1) * H, :], vb,
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                if packed_int4:
-                    # planes were [byte, hi] = [16 hi + lo, hi]: un-mix to
-                    # [probs.lo | probs.hi]
-                    dhp_o = dh // 2
-                    t2 = t[:, dhp_o:]
-                    t = jnp.concatenate([t[:, :dhp_o] - 16.0 * t2, t2], axis=1)
-                o_rows.append(t)
+                )  # [H, D]
+                o_rows.append(
+                    lax.dot_general(
+                        r * rowmask, fold,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                )  # [H, dh]
+        else:
+            for j in range(G):
+                vb = raw_block(j, 1)
+                for h in range(H):
+                    t = lax.dot_general(
+                        s_eff[(j * H + h) : (j * H + h + 1), :],
+                        head_block(vb, h),
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    if packed_int4:
+                        # planes were [byte, hi] = [16 hi + lo, hi]: un-mix
+                        # to [probs.lo | probs.hi]
+                        dhp_o = dh // 2
+                        t2 = t[:, dhp_o:]
+                        t = jnp.concatenate(
+                            [t[:, :dhp_o] - 16.0 * t2, t2], axis=1
+                        )
+                    o_rows.append(t)
         # same stale-bytes guard: s_eff rows are zero for inactive rows but
         # 0-dot-NaN is NaN, so mask the product rows explicitly
         o_curr = jnp.where(
@@ -468,6 +528,8 @@ def _choose_group(b, w, page_size, d, kv_bytes):
     grid steps. Group-size tuning must be validated on the fused-write
     path; wide groups win there."""
     best = (1, 1)
+    # G > 64 fits VMEM at narrow widths (gpt2s) but measured 55k vs 76k
+    # tok/s — wide-group DMA batching stops paying past 64 slots/step
     for g in (64, 32, 16, 8, 4, 2, 1):
         if b % g:
             continue
@@ -555,6 +617,10 @@ def paged_decode_attention_grouped(
         )
         ppd = 1
 
+    # multihead: batch each slot's H per-head dots into one masked dot
+    # (see _grouped_kernel); int4 keeps the per-head plane path
+    batched = n_heads > 1 and not packed_int4
+
     q3 = q.reshape(B * n_heads, dh)
     block_spec = pl.BlockSpec((G * n_heads, dh), lambda g, i, *_: (g, 0))
     len_col_spec = pl.BlockSpec((G, 1), lambda g, i, *_: (g, 0))
@@ -572,6 +638,10 @@ def paged_decode_attention_grouped(
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     inputs = [q3, lengths.reshape(B, 1), kv_pages]
+    if batched:
+        # the same q, viewed row-per-slot [B, D] for the elementwise side
+        in_specs.insert(1, pl.BlockSpec((G, D), lambda g, i, *_: (g, 0)))
+        inputs.insert(1, q)
     out_specs = block_spec
     out_shape = jax.ShapeDtypeStruct((B * n_heads, dh), jnp.float32)
     scratch = [
@@ -590,7 +660,7 @@ def paged_decode_attention_grouped(
                      jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype)]
         scratch.append(pltpu.SemaphoreType.DMA)  # write-back semaphore
         # flattened operand index of kv_pages (scalars count) -> output 1
-        io_aliases = {len(scalar_args) + 2: 1}
+        io_aliases = {len(scalar_args) + (3 if batched else 2): 1}
 
     out = pl.pallas_call(
         functools.partial(
@@ -603,6 +673,7 @@ def paged_decode_attention_grouped(
             fused_write=fused_write,
             pages_per_dma=ppd,
             packed_int4=packed_int4,
+            batched_heads=batched,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalar_args),
