@@ -111,6 +111,13 @@ class EngineConfig:
 
     def validate(self, model: ModelConfig) -> None:
         assert self.n_slots > 0 and self.n_pages > 0
+        assert self.kv_dtype in ("float32", "bfloat16", "int8", "int4"), (
+            f"unsupported kv_dtype {self.kv_dtype!r}"
+        )
+        # int4 packs two values per byte within each head's feature block
+        assert not (self.kv_packed and model.head_dim % 2), (
+            "int4 KV needs an even head_dim (two features pack per byte)"
+        )
         # Reference asserts 0 < n_forward_rounds <= PAGE_BLOCK_SIZE so at most
         # one page per slot must be grown per host round
         # (paged_item_storage.cpp:21).

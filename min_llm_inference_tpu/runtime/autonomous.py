@@ -448,14 +448,20 @@ class AutonomousEngine:
             else:
                 prev_status = None
         with phase("drain_fetch"):
-            # one fetch, not two: every np.asarray is its own ~30ms RPC on
-            # this transport, so concatenate on device (cheap copy) first
+            # one fetch, not two: every np.asarray is its own RPC on this
+            # transport, so concatenate on device (cheap copy) first. The
+            # transfer is byte-bound (~1MB measured 88ms), so ship int16
+            # when token ids and lengths fit (vocab and n_seq almost
+            # always do) — halves the dominant end-of-run fetch.
             packed = jnp.concatenate(
                 [st.out_tokens,
                  st.final_lens[:, None].astype(st.out_tokens.dtype)],
                 axis=1,
             )
-            packed = np.asarray(packed)
+            if (self.model_cfg.n_vocab <= 32768
+                    and self.model_cfg.n_seq < 32767):
+                packed = packed.astype(jnp.int16)
+            packed = np.asarray(packed).astype(np.int32)
             out_tokens, final_lens = packed[:, :-1], packed[:, -1]
         total = 0
         for i, req in enumerate(requests):
