@@ -98,7 +98,7 @@ def main():
     ap.add_argument("--init-pages", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--kv-dtype", default="int8")
-    ap.add_argument("--repeats", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--attention", default="grouped",
                     choices=["jnp", "pallas", "grouped"])
     ap.add_argument("--max-prefill-batch", type=int, default=128)
@@ -161,14 +161,15 @@ def main():
                  args.engine, args.bursts_per_chunk, args.requests,
                  args.max_new_per_burst, args.min_drain_slots)
 
-    # best-of-N timed runs: the device transport has ~15-20% run-to-run
-    # variance; report peak sustained throughput
+    # N timed runs, MEDIAN reported (the device transport has ~15-20%
+    # run-to-run variance; a best-of number overstates, a single run is a
+    # coin flip — VERDICT r1 weak #8). All runs ship in the JSON.
     from min_llm_inference_tpu.utils.profiling import (
         get_global_phase_stats,
         trace,
     )
 
-    best = None
+    runs = []
     for _ in range(max(1, args.repeats)):
         get_global_throughput_counter().reset()  # before submits, for TTFT
         get_global_phase_stats().reset()
@@ -179,25 +180,34 @@ def main():
                                args.engine, args.bursts_per_chunk, args.requests,
                                args.max_new_per_burst, args.min_drain_slots)
         wall = time.perf_counter() - t0
-        if best is None or wall < best[1]:
-            best = (counter, wall)
-    counter, wall = best
+        # snapshot: the throughput counter is a global singleton reused
+        # (and reset) across runs, so copy its numbers out per run
+        runs.append({
+            "wall": wall,
+            "tok_s": counter.total_tokens / wall,
+            "total_tokens": counter.total_tokens,
+            "counter_seconds": counter.elapsed_seconds,
+            "p50_ttft_ms": counter.ttft_percentile(0.5) * 1e3,
+        })
+    runs.sort(key=lambda r: r["tok_s"])
+    med = runs[len(runs) // 2]  # median by throughput
     if args.phase_stats or args.profile:
         print(json.dumps({"phase_stats": get_global_phase_stats().summary()}),
               file=sys.stderr)
     if args.profile:
         print(f"profiler trace written to {args.profile}", file=sys.stderr)
 
-    tok_s = counter.total_tokens / wall  # honest wall around the whole run
+    tok_s = med["tok_s"]  # honest wall around the whole run
     result = {
         "metric": "decode_tokens_per_s",
         "value": round(tok_s, 1),
         "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 4),
-        "total_tokens": counter.total_tokens,
-        "seconds": round(wall, 3),
-        "counter_seconds": round(counter.elapsed_seconds, 3),
-        "p50_ttft_ms": round(counter.ttft_percentile(0.5) * 1e3, 1),
+        "total_tokens": med["total_tokens"],
+        "seconds": round(med["wall"], 3),
+        "counter_seconds": round(med["counter_seconds"], 3),
+        "runs_tok_s": [round(r["tok_s"], 1) for r in runs],
+        "p50_ttft_ms": round(med["p50_ttft_ms"], 1),
         "config": {
             "slots": args.slots, "pages": args.pages, "seq": args.seq,
             "emb": args.emb, "vocab": args.vocab, "requests": args.requests,
