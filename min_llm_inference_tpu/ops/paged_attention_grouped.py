@@ -586,6 +586,22 @@ def paged_decode_attention_grouped(
     assert two == 2 and Dk == (D // 2 if packed_int4 else D)
     W = page_table.shape[1]
     dh = D // n_heads
+    # Odd slot counts: pad the batch to a multiple of 8 with dead rows
+    # (length 0 -> no DMA, no insert, zero output) so a >=8-row group
+    # always exists; callers get the original B back.
+    b_orig = B
+    pad = (-B) % 8
+    if pad:
+        zrow = jnp.zeros((pad, D), q.dtype)
+        q = jnp.concatenate([q, zrow])
+        lengths = jnp.concatenate(
+            [lengths, jnp.zeros((pad,), lengths.dtype)])
+        page_table = jnp.concatenate(
+            [page_table, jnp.zeros((pad, W), page_table.dtype)])
+        if k_new is not None:
+            k_new = jnp.concatenate([k_new, zrow.astype(k_new.dtype)])
+            v_new = jnp.concatenate([v_new, zrow.astype(v_new.dtype)])
+        B += pad
     if packed_int4:
         assert dh % 2 == 0 and k_scales is not None
     auto_g, auto_c = _choose_group(B, W, P, Dk, kv_pages.dtype.itemsize)
@@ -692,5 +708,5 @@ def paged_decode_attention_grouped(
     )(*scalar_args, *inputs)
     if fused_write:
         o, new_pages = out
-        return o.reshape(B, D), new_pages
-    return out.reshape(B, D)
+        return o.reshape(B, D)[:b_orig], new_pages
+    return out.reshape(B, D)[:b_orig]
