@@ -40,7 +40,8 @@ def build_store(rng, n_items, model_cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--backend", default="both",
-                    choices=["dense", "paged", "native", "auto", "both", "all"])
+                    choices=["dense", "paged", "native", "auto", "streaming",
+                             "both", "all"])
     ap.add_argument("--n-items", type=int, default=32)
     ap.add_argument("--attention", default="jnp",
                     choices=["jnp", "pallas", "grouped"])
@@ -60,7 +61,7 @@ def main():
     if args.backend == "both":
         backends = ["dense", "paged"]
     elif args.backend == "all":
-        backends = ["dense", "paged", "native", "auto"]
+        backends = ["dense", "paged", "native", "auto", "streaming"]
     else:
         backends = [args.backend]
     for name in backends:
@@ -68,6 +69,46 @@ def main():
         counter = get_global_throughput_counter()
         counter.reset()
         store = build_store(rng, args.n_items, model_cfg)
+        if name == "streaming":
+            # online serving: submit in waves while the engine runs; greedy
+            # determinism means outputs must match the one-shot backends
+            from min_llm_inference_tpu.runtime.autonomous import (
+                StreamingSession,
+            )
+            import time as _time
+
+            eng = AutonomousEngine(
+                params, model_cfg, engine_cfg, attention_impl=args.attention,
+            )
+            reqs = store.pop_new_items(1 << 30)
+            sess = StreamingSession(
+                eng, capacity=len(reqs),
+                max_prompt_len=max(len(r.tokens) for r in reqs),
+            )
+            t0 = _time.perf_counter()
+            third = max(1, len(reqs) // 3)
+            sess.submit(reqs[:third])
+            sess.step()
+            for r in sess.poll():
+                store.add_finished(r)
+            sess.submit(reqs[third: 2 * third])
+            sess.step()
+            sess.submit(reqs[2 * third:])
+            for r in sess.close():
+                store.add_finished(r)
+            wall = _time.perf_counter() - t0
+            n_gen = sum(
+                len(r.tokens) - r.prompt_len for r in store.finished.values()
+            )
+            outputs[name] = {rid: r.tokens for rid, r in store.finished.items()}
+            print(f"[{name}] finished {len(store.finished)}/{args.n_items} "
+                  f"requests (3 submission waves)")
+            print(f"total tokens: {n_gen}, seconds: {wall:.3f}, "
+                  f"throughput: {n_gen / wall:.1f} tokens/s")
+            sample = store.finished[0]
+            print(f"[{name}] request 0: prompt={sample.tokens[:sample.prompt_len]} "
+                  f"-> generated={sample.tokens[sample.prompt_len:]}")
+            continue
         if name == "dense":
             eng = DenseEngine(params, model_cfg, engine_cfg)
         elif name == "native":

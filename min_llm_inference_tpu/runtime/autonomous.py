@@ -325,7 +325,7 @@ class AutonomousEngine:
         params,
         model_cfg: ModelConfig,
         engine_cfg: EngineConfig,
-        attention_impl: str = "pallas",
+        attention_impl: str = "grouped",
         max_new_per_burst: int = 128,
         bursts_per_chunk: int = 4,
         request_capacity: int | None = None,
@@ -474,3 +474,114 @@ class AutonomousEngine:
             item_storage.add_finished(req)
         counter.add_record_if_recording(total)
         counter.stop_record()
+
+class StreamingSession:
+    """Online serving on top of the autonomous burst: submit requests at
+    any time, step the engine, poll for completions — the continuous-
+    batching analogue of a production serving loop. EXTENSION beyond the
+    reference (its engines consume a fixed queue and run to completion,
+    src/inferencer.cpp:43-85); the device-side scheduler needs nothing
+    new — the prompt queue is a device buffer with spare capacity, so a
+    submission is one async host->device row upload and a bump of the
+    traced request count.
+
+    Greedy determinism guarantee: a request's tokens depend only on its
+    prompt and the weights, never on WHEN it was submitted or which slot
+    it lands in — tested against the one-shot engine (token-exact).
+
+        sess = StreamingSession(engine, capacity=4096, max_prompt_len=64)
+        sess.submit([Request(0, [1, 2, 3])])
+        sess.step()                  # dispatch one chunk of bursts
+        for req in sess.poll():      # newly finished, tokens filled in
+            ...
+        sess.close()                 # drain everything still in flight
+    """
+
+    def __init__(self, engine: "AutonomousEngine", capacity: int,
+                 max_prompt_len: int):
+        S = engine.model_cfg.n_seq
+        assert max_prompt_len + 1 <= S
+        self.engine = engine
+        self.capacity = capacity
+        self.s_pre = min(S, 1 << (max_prompt_len - 1).bit_length())
+        self.st = init_auto_state(
+            engine.model_cfg, engine.engine_cfg, capacity,
+            engine.sample_seed,
+        )
+        self.prompts_dev = jnp.zeros((capacity, self.s_pre), jnp.int32)
+        self.plens_dev = jnp.zeros((capacity,), jnp.int32)
+        self.n_submitted = 0
+        self._requests: List[Request] = []
+        self._plens: List[int] = []
+        self._collected: set = set()
+
+    def submit(self, requests: List[Request]) -> None:
+        """Enqueue requests (one async upload; no recompilation)."""
+        if not requests:
+            return
+        k = len(requests)
+        assert self.n_submitted + k <= self.capacity, "session capacity"
+        rows = np.zeros((k, self.s_pre), np.int32)
+        lens = np.zeros((k,), np.int32)
+        for i, req in enumerate(requests):
+            assert 0 < len(req.tokens) <= self.s_pre
+            rows[i, : len(req.tokens)] = req.tokens
+            lens[i] = len(req.tokens)
+        self.prompts_dev = jax.lax.dynamic_update_slice(
+            self.prompts_dev, jnp.asarray(rows), (self.n_submitted, 0)
+        )
+        self.plens_dev = jax.lax.dynamic_update_slice(
+            self.plens_dev, jnp.asarray(lens), (self.n_submitted,)
+        )
+        self.n_submitted += k
+        self._requests.extend(requests)
+        self._plens.extend(int(x) for x in lens)
+
+    def step(self) -> dict:
+        """Dispatch one chunk of bursts; returns {live, queued, free}."""
+        eng = self.engine
+        for _ in range(eng.chunk):
+            self.st, status = eng._burst(
+                eng.params, self.st, self.prompts_dev, self.plens_dev,
+                jnp.asarray(self.n_submitted, jnp.int32),
+            )
+        live, head, free = (int(x) for x in np.asarray(status))
+        return {"live": live, "queued": self.n_submitted - head,
+                "free_groups": free}
+
+    def poll(self) -> List[Request]:
+        """Fetch completions: returns finished Requests (tokens appended),
+        each exactly once. One small fetch ([capacity] final_lens) decides
+        which output rows to pull; only those rows move over the wire."""
+        fl = np.asarray(self.st.final_lens)
+        new = [i for i in range(self.n_submitted)
+               if fl[i] > 0 and i not in self._collected]
+        if not new:
+            return []
+        rows = np.asarray(self.st.out_tokens[jnp.asarray(new)])
+        out = []
+        for j, i in enumerate(new):
+            req = self._requests[i]
+            req.tokens.extend(rows[j, self._plens[i]: int(fl[i])].tolist())
+            self._collected.add(i)
+            out.append(req)
+        return out
+
+    def close(self) -> List[Request]:
+        """Run the engine until every submitted request finishes; returns
+        the remaining completions (like poll)."""
+        eng = self.engine
+        prev = None
+        while True:
+            s = self.step()
+            if s["live"] == 0 and s["queued"] == 0:
+                break
+            if s["live"] == 0 and s["queued"] > 0:
+                key = (s["queued"], s["free_groups"])
+                if key == prev:
+                    raise RuntimeError("streaming session stalled: "
+                                       "pool exhausted")
+                prev = key
+            else:
+                prev = None
+        return self.poll()

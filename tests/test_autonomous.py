@@ -208,3 +208,43 @@ def test_autonomous_sampling_deterministic_per_seed(params, rng):
     assert any(
         a.finished[i].tokens != c.finished[i].tokens for i in range(n)
     ), "different seeds produced identical streams"
+
+
+def test_streaming_session_matches_oneshot(params, rng):
+    """Online serving: requests submitted in waves while the engine runs
+    produce token-identical outputs to the one-shot engine (greedy
+    determinism — arrival time and slot assignment must not matter)."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    n = 18
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+
+    # oracle: one-shot run
+    oneshot = ItemStorage()
+    for i, p in enumerate(prompts):
+        oneshot.add_new_item(Request(i, list(p)))
+    AutonomousEngine(params, MODEL, cfg, attention_impl="grouped").run(oneshot)
+
+    eng = AutonomousEngine(params, MODEL, cfg, attention_impl="grouped",
+                           max_new_per_burst=4, bursts_per_chunk=2)
+    sess = StreamingSession(eng, capacity=n, max_prompt_len=32)
+    finished = {}
+    # wave 1, run a bit, wave 2 mid-flight, wave 3, then drain
+    sess.submit([Request(i, list(prompts[i])) for i in range(6)])
+    sess.step()
+    for r in sess.poll():
+        finished[r.id] = r
+    sess.submit([Request(i, list(prompts[i])) for i in range(6, 12)])
+    sess.step()
+    sess.step()
+    for r in sess.poll():
+        finished[r.id] = r
+    sess.submit([Request(i, list(prompts[i])) for i in range(12, n)])
+    for r in sess.close():
+        finished[r.id] = r
+    assert len(finished) == n
+    for i in range(n):
+        assert finished[i].tokens == oneshot.finished[i].tokens, i
