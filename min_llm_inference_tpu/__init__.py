@@ -18,7 +18,7 @@ from .constants import (
 )
 from .metrics import ThroughputCounter, get_global_throughput_counter
 from .models.params import init_params
-from .runtime.autonomous import AutonomousEngine
+from .runtime.autonomous import AutonomousEngine, StreamingSession
 from .runtime.engine import DenseEngine, NativePagedEngine, PagedEngine
 from .runtime.item_storage import ItemStorage, ProcessingStorage, Request
 
@@ -35,6 +35,7 @@ __all__ = [
     "get_global_throughput_counter",
     "init_params",
     "AutonomousEngine",
+    "StreamingSession",
     "DenseEngine",
     "NativePagedEngine",
     "PagedEngine",

@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Online-serving benchmark: StreamingSession under staggered arrivals.
+
+The headline bench (bench.py) measures the one-shot batch workload the
+reference profiles (all 2048 requests queued up front). Production serving
+is different: requests ARRIVE while the engine runs. This drives
+StreamingSession at the same bench shapes with requests submitted in
+waves between engine steps and reports sustained throughput plus
+completion-latency percentiles (observed at poll granularity — one chunk
+of bursts — which is the engine's actual scheduling quantum).
+
+Writes ONE JSON line (optionally to --out) so the result can be committed
+as a round artifact.
+
+Usage: env PYTHONPATH=.:/root/.axon_site python tools/serving_bench.py \
+           [--requests 2048] [--waves 8] [--out SERVING_r02.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+from min_llm_inference_tpu import (  # noqa: E402
+    EngineConfig,
+    ModelConfig,
+    Request,
+    StreamingSession,
+)
+from min_llm_inference_tpu.runtime.autonomous import AutonomousEngine  # noqa: E402
+
+BASELINE_TOK_S = 123284.0  # reference one-shot batch number (BASELINE.md)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=1024)
+    ap.add_argument("--pages", type=int, default=4096)
+    ap.add_argument("--seq", type=int, default=128)
+    ap.add_argument("--emb", type=int, default=2048)
+    ap.add_argument("--vocab", type=int, default=1024)
+    ap.add_argument("--requests", type=int, default=2048)
+    ap.add_argument("--waves", type=int, default=4,
+                    help="requests arrive in this many equal waves, one "
+                         "submitted before each early engine step")
+    ap.add_argument("--rounds", type=int, default=16)
+    ap.add_argument("--kv-dtype", default="int8")
+    ap.add_argument("--max-prompt", type=int, default=64)
+    # smaller chunk than the batch bench (24): the chunk is the serving
+    # QUANTUM — arrivals are only admitted and completions only observed
+    # at chunk boundaries, so serving trades a little dispatch efficiency
+    # (more status-fetch RPCs) for admission/poll latency
+    ap.add_argument("--bursts-per-chunk", type=int, default=6)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    model_cfg = ModelConfig(
+        n_vocab=args.vocab, emb_dim=args.emb, n_seq=args.seq,
+        eof_token_id=args.vocab - 1, dtype="bfloat16",
+    )
+    engine_cfg = EngineConfig(
+        n_slots=args.slots, n_pages=args.pages, page_size=32,
+        n_forward_rounds=args.rounds, kv_dtype=args.kv_dtype,
+    )
+    # bench.py's uniform(0,1) weights with the EOF row scaled so sequences
+    # terminate like the reference profile workload
+    from bench import bench_params, BASELINE_TOK_S as _b  # noqa: F401
+
+    rng = np.random.default_rng(0)
+    params = bench_params(rng, model_cfg)
+
+    def make_requests(n, id0=0):
+        out = []
+        for i in range(n):
+            ln = int(rng.integers(1, args.max_prompt + 1))
+            out.append(Request(
+                id0 + i, rng.integers(0, args.vocab - 1, ln).tolist()
+            ))
+        return out
+
+    eng = AutonomousEngine(
+        params, model_cfg, engine_cfg,
+        bursts_per_chunk=args.bursts_per_chunk,
+        max_new_per_burst=512,
+    )
+
+    # warm: every executable the timed run dispatches, at the SAME shapes
+    # (request_capacity rule, CLAUDE.md) — the burst + prefill buckets, the
+    # wave-sized submit updates, and the power-of-two poll-gather buckets
+    # (remote compiles are seconds each; any cold shape pollutes the run)
+    import jax.numpy as jnp
+
+    wave = args.requests // args.waves
+    warm = StreamingSession(eng, capacity=args.requests,
+                            max_prompt_len=args.max_prompt)
+    warm.submit(make_requests(wave))
+    warm.step()
+    warm.poll()
+    warm.close()
+    b = 1
+    while True:
+        bb = min(b, args.requests)
+        np.asarray(warm.st.out_tokens[jnp.zeros((bb,), jnp.int32)])
+        if bb >= args.requests:
+            break
+        b *= 2
+
+    # timed run: staggered arrivals
+    sess = StreamingSession(eng, capacity=args.requests,
+                            max_prompt_len=args.max_prompt)
+    wave = args.requests // args.waves
+    submit_t = {}
+    done_t = {}
+    n_gen = 0
+    t0 = time.perf_counter()
+    made = 0
+    while made < args.requests or len(done_t) < args.requests:
+        if made < args.requests:
+            reqs = make_requests(min(wave, args.requests - made), id0=made)
+            now = time.perf_counter()
+            for r in reqs:
+                submit_t[r.id] = now
+            sess.submit(reqs)
+            made += len(reqs)
+        sess.step()
+        now = time.perf_counter()
+        for r in sess.poll():
+            done_t[r.id] = now
+            n_gen += len(r.tokens) - r.prompt_len
+    wall = time.perf_counter() - t0
+
+    lat = np.array(sorted(done_t[i] - submit_t[i] for i in done_t))
+    result = {
+        "metric": "serving_tokens_per_s",
+        "value": round(n_gen / wall, 1),
+        "unit": "tok/s",
+        "vs_batch_baseline": round(n_gen / wall / BASELINE_TOK_S, 4),
+        "total_tokens": n_gen,
+        "seconds": round(wall, 3),
+        "requests": args.requests,
+        "arrival_waves": args.waves,
+        "completion_latency_s": {
+            "p50": round(float(np.quantile(lat, 0.5)), 3),
+            "p90": round(float(np.quantile(lat, 0.9)), 3),
+            "p99": round(float(np.quantile(lat, 0.99)), 3),
+        },
+        "config": {
+            "slots": args.slots, "pages": args.pages, "seq": args.seq,
+            "emb": args.emb, "kv_dtype": args.kv_dtype,
+            "rounds": args.rounds, "device": str(jax.devices()[0]),
+        },
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
