@@ -248,3 +248,63 @@ def test_streaming_session_matches_oneshot(params, rng):
     assert len(finished) == n
     for i in range(n):
         assert finished[i].tokens == oneshot.finished[i].tokens, i
+
+
+def test_streaming_session_int8_matches_oneshot(params, rng):
+    """Streaming parity holds under quantized KV too: the per-page scale
+    rule is position-based (row-0 absmax, no host coordination), so slot
+    assignment and arrival timing cannot change the quantized stream."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    n = 12
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       kv_dtype="int8", n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+
+    oneshot = ItemStorage()
+    for i, p in enumerate(prompts):
+        oneshot.add_new_item(Request(i, list(p)))
+    AutonomousEngine(params, MODEL, cfg, attention_impl="jnp").run(oneshot)
+
+    eng = AutonomousEngine(params, MODEL, cfg, attention_impl="jnp",
+                           max_new_per_burst=4, bursts_per_chunk=2)
+    sess = StreamingSession(eng, capacity=n, max_prompt_len=32)
+    sess.submit([Request(i, list(prompts[i])) for i in range(5)])
+    sess.step()
+    sess.submit([Request(i, list(prompts[i])) for i in range(5, n)])
+    finished = {r.id: r for r in sess.close()}
+    assert len(finished) == n
+    for i in range(n):
+        assert finished[i].tokens == oneshot.finished[i].tokens, i
+
+
+def test_streaming_session_sampling_same_pattern_same_seed(params, rng):
+    """Sampling sessions are deterministic for a fixed (seed, submission
+    pattern): the rng key advances per ROUND, so unlike greedy, sampled
+    outputs may legitimately depend on arrival timing — the guarantee is
+    reproducibility, not arrival-invariance."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    n = 10
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+
+    def run(seed):
+        eng = AutonomousEngine(
+            params, MODEL, cfg, attention_impl="jnp",
+            temperature=1.5, top_k=16, sample_seed=seed,
+            max_new_per_burst=4, bursts_per_chunk=2,
+        )
+        sess = StreamingSession(eng, capacity=n, max_prompt_len=32)
+        sess.submit([Request(i, list(prompts[i])) for i in range(4)])
+        sess.step()
+        sess.submit([Request(i, list(prompts[i])) for i in range(4, n)])
+        return {r.id: r.tokens for r in sess.close()}
+
+    a, b, c = run(3), run(3), run(4)
+    assert len(a) == n
+    assert a == b, "same seed + same pattern must reproduce exactly"
+    assert a != c, "different seeds produced identical streams"
