@@ -190,7 +190,9 @@ def main():
             "p50_ttft_ms": counter.ttft_percentile(0.5) * 1e3,
         })
     runs.sort(key=lambda r: r["tok_s"])
-    med = runs[len(runs) // 2]  # median by throughput
+    # median by throughput; lower-middle for even N (upper-middle would
+    # recreate best-of bias, e.g. --repeats 2 reporting the faster run)
+    med = runs[(len(runs) - 1) // 2]
     if args.phase_stats or args.profile:
         print(json.dumps({"phase_stats": get_global_phase_stats().summary()}),
               file=sys.stderr)

@@ -592,6 +592,11 @@ def paged_decode_attention_grouped(
     b_orig = B
     pad = (-B) % 8
     if pad:
+        # Pad page_table rows are ZEROS, and page id 0 may belong to a live
+        # slot. Safety rests entirely on length == 0 gating: every page DMA,
+        # fused insert, and write-back in the kernel is predicated on the
+        # slot's length, so pad rows never touch page 0. Any edit that
+        # weakens that gating silently corrupts a live page.
         zrow = jnp.zeros((pad, D), q.dtype)
         q = jnp.concatenate([q, zrow])
         lengths = jnp.concatenate(

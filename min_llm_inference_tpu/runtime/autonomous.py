@@ -503,6 +503,12 @@ class StreamingSession:
         assert max_prompt_len + 1 <= S
         self.engine = engine
         self.capacity = capacity
+        # s_pre is the padded BUFFER width (power of two, may exceed
+        # max_prompt_len); the user-facing bound stays max_prompt_len —
+        # submit() enforces it, since a prompt of length n_seq would make
+        # the first decode round's out_tokens scatter index land in the
+        # next request's row.
+        self.max_prompt_len = max_prompt_len
         self.s_pre = min(S, 1 << (max_prompt_len - 1).bit_length())
         self.st = init_auto_state(
             engine.model_cfg, engine.engine_cfg, capacity,
@@ -524,7 +530,10 @@ class StreamingSession:
         rows = np.zeros((k, self.s_pre), np.int32)
         lens = np.zeros((k,), np.int32)
         for i, req in enumerate(requests):
-            assert 0 < len(req.tokens) <= self.s_pre
+            assert 0 < len(req.tokens) <= self.max_prompt_len, (
+                f"prompt length {len(req.tokens)} exceeds the session's "
+                f"max_prompt_len={self.max_prompt_len}"
+            )
             rows[i, : len(req.tokens)] = req.tokens
             lens[i] = len(req.tokens)
         self.prompts_dev = jax.lax.dynamic_update_slice(

@@ -94,6 +94,13 @@ class DenseEngine(_EngineBase):
 
     def __init__(self, params, model_cfg: ModelConfig, engine_cfg: EngineConfig):
         super().__init__(params, model_cfg, engine_cfg)
+        # Quantized KV needs per-page scales; the dense backend has no scale
+        # machinery — a bare astype(int8) would silently attend over raw
+        # truncated integers (divergent tokens). Paged engines own int8/int4.
+        assert not engine_cfg.kv_quantized, (
+            f"DenseEngine does not support kv_dtype={engine_cfg.kv_dtype!r}: "
+            "quantized KV requires per-page scales (use a paged engine)"
+        )
         self.state = init_dense_state(model_cfg, engine_cfg)
         self._prefill, self._decode = make_dense_fns(model_cfg, engine_cfg)
 

@@ -308,3 +308,20 @@ def test_streaming_session_sampling_same_pattern_same_seed(params, rng):
     assert len(a) == n
     assert a == b, "same seed + same pattern must reproduce exactly"
     assert a != c, "different seeds produced identical streams"
+
+
+def test_streaming_session_rejects_overlong_prompt(params):
+    """submit() enforces the declared max_prompt_len, not the padded
+    power-of-two buffer width (ADVICE r2: an n_seq-length prompt accepted
+    via the rounded bucket would scatter its first decode token into the
+    NEXT request's output row)."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4)
+    eng = AutonomousEngine(params, MODEL, cfg, attention_impl="jnp")
+    sess = StreamingSession(eng, capacity=4, max_prompt_len=40)
+    assert sess.s_pre == 64  # rounded up: the hole ADVICE flagged
+    with pytest.raises(AssertionError, match="max_prompt_len"):
+        sess.submit([Request(0, list(range(1, 42)))])
+    sess.submit([Request(0, list(range(1, 41)))])  # exactly max: fine
+    sess.close()

@@ -16,6 +16,7 @@ Usage:  python tools/backend_walltimes.py [--out BACKENDS_r02.json]
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import sys
 import time
@@ -40,7 +41,16 @@ from min_llm_inference_tpu import (
 )
 
 ENGINES = {
-    "dense": lambda p, m, e: DenseEngine(p, m, e),
+    # Dense has no per-page scale machinery, so it runs at fp KV (its
+    # constructor rejects quantized kv_dtype); its parity is checked
+    # against a paged run at the SAME fp kv_dtype (paged_fp below).
+    "dense": lambda p, m, e: DenseEngine(
+        p, m, dataclasses.replace(e, kv_dtype=m.dtype)
+    ),
+    "paged_fp": lambda p, m, e: PagedEngine(
+        p, m, dataclasses.replace(e, kv_dtype=m.dtype),
+        attention_impl="pallas",
+    ),
     "paged": lambda p, m, e: PagedEngine(p, m, e, attention_impl="pallas"),
     "native": lambda p, m, e: NativePagedEngine(p, m, e, attention_impl="pallas"),
     "autonomous": lambda p, m, e: AutonomousEngine(p, m, e, attention_impl="pallas"),
@@ -108,20 +118,22 @@ def main():
         }
         print(name, results["backends"][name])
 
-    # token parity across all backends on the identical request set
+    # token parity: quantized backends against the paged int8 run; dense
+    # against the paged run at the same fp kv_dtype (exact chain)
     ref = outputs["paged"]
     parity = {
         other: sum(outputs[other][i] == ref[i] for i in ref) == len(ref)
-        for other in outputs
+        for other in ("paged", "native", "autonomous")
     }
-    results["token_parity_vs_paged"] = parity
-    # Dense attends over unquantized KV; with kv_dtype=int8 the paged
-    # engines see quantized context, so dense is EXPECTED to diverge here.
-    # The exact dense<->paged parity chain is enforced at fp KV by
-    # tests/test_engine.py / test_parity.py.
+    fp_ref = outputs["paged_fp"]
+    parity["dense"] = (
+        sum(outputs["dense"][i] == fp_ref[i] for i in fp_ref) == len(fp_ref)
+    )
+    results["token_parity"] = parity
     results["parity_note"] = (
-        "dense uses fp KV; paged backends use kv_dtype=%s — dense parity "
-        "expected only for fp KV" % engine_cfg.kv_dtype
+        "paged/native/autonomous compared token-exact at kv_dtype=%s; "
+        "dense compared token-exact vs paged_fp at kv_dtype=%s"
+        % (engine_cfg.kv_dtype, model_cfg.dtype)
     )
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
