@@ -25,16 +25,24 @@ from min_llm_inference_tpu import (
     get_global_throughput_counter,
     init_params,
 )
+from min_llm_inference_tpu.parallel.autonomous import ShardedAutonomousEngine
 from min_llm_inference_tpu.parallel.engine import ShardedPagedEngine
 
 
-def run(params, model_cfg, engine_cfg, n_devices, tp, requests, rng):
+def run(params, model_cfg, engine_cfg, n_devices, tp, requests, rng, engine):
     store = ItemStorage()
     for i, toks in enumerate(requests):
         store.add_new_item(Request(i, list(toks)))
     counter = get_global_throughput_counter()
     counter.reset()
-    eng = ShardedPagedEngine(params, model_cfg, engine_cfg, n_devices=n_devices, tp=tp)
+    if engine == "auto":
+        eng = ShardedAutonomousEngine(
+            params, model_cfg, engine_cfg, n_devices=n_devices, tp=tp
+        )
+    else:
+        eng = ShardedPagedEngine(
+            params, model_cfg, engine_cfg, n_devices=n_devices, tp=tp
+        )
     t0 = time.perf_counter()
     eng.run(store)
     wall = time.perf_counter() - t0
@@ -46,6 +54,9 @@ def main():
     ap.add_argument("--tp", type=int, default=2)
     ap.add_argument("--requests", type=int, default=128)
     ap.add_argument("--slots-per-dp", type=int, default=16)
+    ap.add_argument("--engine", default="auto", choices=["auto", "paged"],
+                    help="auto = flagship device-resident scheduler "
+                         "(ShardedAutonomousEngine); paged = host-scheduled")
     args = ap.parse_args()
 
     n_avail = len(jax.devices())
@@ -67,7 +78,8 @@ def main():
             n_slots=args.slots_per_dp * dp, page_size=16,
             n_pages=args.slots_per_dp * dp * 4, max_prefill_batch=8,
         )
-        tok_s, total = run(params, model_cfg, engine_cfg, n, args.tp, reqs, rng)
+        tok_s, total = run(params, model_cfg, engine_cfg, n, args.tp, reqs,
+                           rng, args.engine)
         if base is None:
             base = tok_s / n
         eff = tok_s / (n * base)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 
 from ..config import EngineConfig, ModelConfig
 from ..metrics import get_global_throughput_counter
-from ..models.model import decode_round_tokens, prefill_write_kv
+from ..models.model import DEFAULT_CTX, decode_round_tokens, prefill_write_kv
 from ..utils.profiling import phase
 from ..models.paged import (
     PagedKVState,
@@ -99,6 +99,8 @@ def _autonomous_burst(
     max_new: int,
     sampling,       # None = greedy, else (temperature, top_k) static
     ablate,         # frozenset of phase knockouts (profiling only)
+    ctx,            # parallel seams (DEFAULT_CTX single-chip; TpShardCtx
+                    # inside parallel/autonomous.py's shard_map)
     params,
     st: AutoState,
     prompts_all,   # [R_cap, S_pre] i32 (S_pre: static max-prompt bucket)
@@ -163,14 +165,18 @@ def _autonomous_burst(
     # smaller than the ramp's full-width admissions).
     kv = st.kv
 
+    scale_reduce = ctx.pmax if ctx.tp > 1 else None
+
     def prefill_sized(bs):
         def f(kv):
             write_kv_block, finalize = make_prefill_kv_writer(
                 kv, granted[:bs], plens[:bs], S_pre, P, NP,
-                n_heads=model_cfg.n_heads,
+                scale_reduce=scale_reduce,
+                n_heads=ctx.local_heads(model_cfg),
             )
             prefill_write_kv(
-                params, model_cfg, prompts[:bs], plens[:bs], write_kv_block
+                params, model_cfg, prompts[:bs], plens[:bs], write_kv_block,
+                ctx,
             )
             return finalize()
 
@@ -199,6 +205,7 @@ def _autonomous_burst(
         write_kv, attend = make_round_kv_callbacks(
             model_cfg, engine_cfg, attention_impl, page_table,
             kv_pages, k_scales, v_scales, lengths,
+            n_heads=ctx.local_heads(model_cfg), scale_reduce=scale_reduce,
             # the group allocator guarantees every slot's page row is a
             # consecutive HBM range -> multi-page runs move as one DMA
             contiguous_pages=True,
@@ -220,7 +227,7 @@ def _autonomous_burst(
                 )
 
         tok, new_lengths = decode_round_tokens(
-            params, model_cfg, lengths, last, write_kv, attend,
+            params, model_cfg, lengths, last, write_kv, attend, ctx,
             next_token_fn=ntf, ablate=ablate,
         )
         # emitted token's position in its sequence = old length
@@ -285,6 +292,7 @@ def make_autonomous_fn(
             _autonomous_burst, model_cfg, engine_cfg, attention_impl,
             max_new, sampling,
             frozenset(x for x in ablate.split(",") if x),
+            DEFAULT_CTX,
         ),
         donate_argnums=(1,),
     )
