@@ -115,6 +115,9 @@ def main():
                     help="contiguous-run DMA length in pages (grouped kernel)")
     ap.add_argument("--attn-group", type=int, default=None,
                     help="grouped-kernel slots per grid step (default auto)")
+    ap.add_argument("--no-ring", action="store_true",
+                    help="disable the per-burst decode ring (per-round "
+                         "fused page write-backs instead)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler (xprof) trace of ONE timed "
                          "run into LOGDIR (reference: NVTX + make profile)")
@@ -143,6 +146,7 @@ def main():
         max_prefill_batch=args.max_prefill_batch,
         pages_per_dma=args.pages_per_dma,
         attn_group_size=args.attn_group,
+        decode_ring=not args.no_ring,
     )
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":

@@ -87,6 +87,18 @@ class EngineConfig:
     # Trades grid-step count against per-step VMEM: wider groups batch more
     # page DMAs per step but cap pages_per_compute_block.
     attn_group_size: int | None = None
+    # Ring decode (AutonomousEngine + grouped kernel): per-burst dense KV
+    # ring with a single per-burst page flush instead of a full-page
+    # write-back every round. Token-exact vs the fused-write path; False
+    # keeps the per-round fused write (A/B + fallback).
+    decode_ring: bool = True
+    # AutonomousEngine overcommit: admit with HALF a slot's pages (a
+    # half-group of pages_per_slot/2 contiguous pages), grow on demand with
+    # an n_forward_rounds lookahead, preempt the YOUNGEST live slots when
+    # the pool runs dry (re-queued on a device retry stack; greedy
+    # determinism makes recompute token-exact). False = full grant (a slot
+    # gets all its pages at admission; no growth or preemption).
+    overcommit: bool = False
 
     @property
     def kv_jax_dtype(self):
@@ -134,3 +146,11 @@ class EngineConfig:
             f"n_pages={self.n_pages} cannot hold one full sequence "
             f"({self.pages_per_slot(model.n_seq)} pages)"
         )
+        if self.overcommit:
+            W = self.pages_per_slot(model.n_seq)
+            assert W >= 2, "overcommit needs >= 2 pages per slot (half-grants)"
+            half = W // 2
+            # contiguous-run DMAs must stay inside one half-group
+            assert (self.pages_per_dma or 1) <= half, (
+                "pages_per_dma must fit a half-group under overcommit"
+            )

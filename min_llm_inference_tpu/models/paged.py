@@ -506,6 +506,8 @@ def make_round_kv_callbacks(
                 pages_per_dma=(
                     engine_cfg.pages_per_dma if contiguous_pages else None
                 ),
+                max_run_pages=(page_table.shape[1] // 2
+                               if engine_cfg.overcommit else None),
                 packed_int4=engine_cfg.kv_packed,
                 interpret=interpret,
             )
@@ -533,6 +535,238 @@ def make_round_kv_callbacks(
         return attend_impl(kv_pages[li], k_scales[li], v_scales[li], q, lens)
 
     return write_kv, attend
+
+
+def ring_pad_rows(n_forward_rounds: int) -> int:
+    """Ring rows: one per decode round, padded to a multiple of 8 so the
+    [G, R, 2*Dk] kernel block keeps full sublane tiles and the page-block
+    concat stays tile-aligned."""
+    return max(8, -(-n_forward_rounds // 8) * 8)
+
+
+def make_ring_round_callbacks(
+    model_cfg: ModelConfig,
+    engine_cfg: EngineConfig,
+    page_table,
+    kv_pages: list,
+    k_scales: list,
+    v_scales: list,
+    rings: list,      # per-layer [B, R, 2*Dk], mutated in place
+    ring_scs: list,   # per-layer [B, 128] f32 scale cols (quantized only)
+    lengths,
+    ring_start,       # [B] i32, fixed for the whole burst (burst-start len - 1)
+    round_idx,        # [] i32 — ring column written this round
+    n_heads=None,
+    scale_reduce=None,
+    contiguous_pages: bool = False,
+    ablate: frozenset = frozenset(),
+):
+    """Ring-mode (write_kv, attend) for ONE decode round of a burst.
+
+    The decode KV write becomes ONE dynamic-update-slice into the per-layer
+    ring (the K|V row quantized in XLA against the per-page scales, exactly
+    the bytes the flush lands in the pool) instead of a full-page in-kernel
+    write-back every round; the kernel reads the pool read-only (pages hold
+    positions < ring_start) and scores the ring as extra columns
+    concatenated onto each slot's page block. The pool is updated ONCE per
+    burst (ops/ring_flush.ring_flush). Token-exact vs the scatter and
+    fused-write paths (same quantized values, same masks)."""
+    from ..ops.paged_attention_grouped import paged_decode_attention_grouped
+
+    P = engine_cfg.page_size
+    NP = engine_cfg.n_pages
+    heads = n_heads or model_cfg.n_heads
+    live = lengths > 0
+    pos = jnp.maximum(lengths - 1, 0)
+    fresh_pid = decode_fresh_pid(page_table, pos, live, P, NP)
+    flat_idx = _flat_scatter_indices(page_table, pos, live, P, NP)
+    quantized = engine_cfg.kv_quantized
+    qmax = kv_qmax(engine_cfg.kv_packed)
+    interpret = jax.default_backend() == "cpu"
+
+    def write_kv(li, pos_, k, v, live_):
+        if "kvwrite" in ablate:
+            return
+        if quantized:
+            if "scales" not in ablate:
+                k_scales[li] = update_page_scales(
+                    k_scales[li], k, fresh_pid, scale_reduce, qmax
+                )
+                v_scales[li] = update_page_scales(
+                    v_scales[li], v, fresh_pid, scale_reduce, qmax
+                )
+            # quantize against THIS row's page scale; record the scale in
+            # the carried [B, 128] column buffer (col r = K, 64 + r = V) —
+            # the column is read only from this round on, by which time the
+            # scale is final (fresh pages reset exactly at their row 0)
+            pidr = jnp.clip(flat_idx // P, 0, NP - 1)
+            sk = k_scales[li][pidr]
+            sv = v_scales[li][pidr]
+
+            def quant(x, s):
+                inv = jnp.where(s > 0, 1.0 / jnp.maximum(s, 1e-30), 0.0)
+                return jnp.clip(
+                    jnp.round(x.astype(jnp.float32) * inv[:, None]),
+                    -qmax, qmax,
+                ).astype(jnp.int8)
+
+            qk, qv = quant(k, sk), quant(v, sv)
+            if engine_cfg.kv_packed:
+                qk = pack_int4_rows(qk, heads)
+                qv = pack_int4_rows(qv, heads)
+            # "ringdus" knockout: STATIC-index updates (column 0) instead
+            # of the scan-counter index — isolates whether dynamic-start
+            # update-slices defeat XLA's in-place donation on the carried
+            # ring (timing only; contents wrong)
+            zero = jnp.zeros((), jnp.int32)
+            r_ix = zero if "ringdus" in ablate else round_idx
+            sc = ring_scs[li]
+            sc = jax.lax.dynamic_update_slice(
+                sc, sk[:, None], (zero, r_ix))
+            ring_scs[li] = jax.lax.dynamic_update_slice(
+                sc, sv[:, None], (zero, 64 + r_ix))
+        else:
+            qk = k.astype(rings[li].dtype)
+            qv = v.astype(rings[li].dtype)
+            zero = jnp.zeros((), jnp.int32)
+            r_ix = zero if "ringdus" in ablate else round_idx
+        row = jnp.concatenate([qk, qv], axis=-1)[:, None, :]  # [B, 1, 2Dk]
+        rings[li] = jax.lax.dynamic_update_slice(
+            rings[li], row, (zero, r_ix, zero)
+        )
+
+    def attend(li, q, lens):
+        # page partial from the kernel (pool read-only, positions < rs)
+        o_p, m_p, l_p = paged_decode_attention_grouped(
+            q, kv_pages[li], lens, page_table,
+            k_scales[li], v_scales[li],
+            ring_start=ring_start,
+            n_heads=heads, contiguous_pages=contiguous_pages,
+            group_size=engine_cfg.attn_group_size,
+            pages_per_dma=(
+                engine_cfg.pages_per_dma if contiguous_pages else None
+            ),
+            max_run_pages=(page_table.shape[1] // 2
+                           if engine_cfg.overcommit else None),
+            packed_int4=engine_cfg.kv_packed,
+            interpret=interpret,
+        )
+        return merge_ring_partial(
+            o_p, m_p, l_p, q, rings[li],
+            ring_scs[li] if quantized else None,
+            ring_start, lens, heads, engine_cfg.kv_packed,
+        ).astype(q.dtype)
+
+    return write_kv, attend
+
+
+def merge_ring_partial(o_p, m_p, l_p, q, ring, ring_sc, ring_start, lens,
+                       heads, packed):
+    """Merge the kernel's page-context online-softmax partial (o_p [B, D]
+    normalized, m_p/l_p [B, H]) with the burst ring's contribution.
+
+    The ring partial is computed HERE in batched XLA ([B, R, D] einsums —
+    ~1% of the page bytes); keeping it out of the kernel preserves 128-col
+    MXU dots and avoids carrying the ring as a kernel operand, both
+    measured regressions. Numerics: exactly a two-block flash merge of
+    normalized partials — the same dequantized values as the scatter
+    paths, so cross-backend token parity holds."""
+    B = q.shape[0]
+    dh = q.shape[1] // heads
+    R = ring.shape[1]
+    Dk = ring.shape[2] // 2
+    kq = ring[:, :, :Dk]
+    vq = ring[:, :, Dk:]
+    if packed:
+        kd = unpack_int4(kq, heads)
+        vd = unpack_int4(vq, heads)
+    else:
+        kd = kq.astype(jnp.float32)
+        vd = vq.astype(jnp.float32)
+    if ring_sc is not None:
+        kd = kd * ring_sc[:, :R, None]
+        vsc = ring_sc[:, 64 : 64 + R]
+    qh = q.astype(jnp.float32).reshape(B, heads, dh)
+    kh = kd.reshape(B, R, heads, dh)
+    vh = vd.reshape(B, R, heads, dh)
+    s = jnp.einsum("brhd,bhd->bhr", kh, qh) * (dh ** -0.5)
+    # ring col r holds position ring_start + r, valid inside length
+    col = jnp.arange(R, dtype=jnp.int32)[None, None, :]
+    valid = (ring_start[:, None, None] + col) < lens[:, None, None]
+    m_r = jnp.max(jnp.where(valid, s, -jnp.inf), axis=-1)   # [B, H]
+    w = jnp.where(valid, jnp.exp(s - m_r[..., None]), 0.0)
+    l_r = jnp.sum(w, axis=-1)
+    if ring_sc is not None:
+        w = w * vsc[:, None, :]
+    o_r = jnp.einsum("bhr,brhd->bhd", w, vh)
+    o_r = o_r / jnp.maximum(l_r, jnp.finfo(jnp.float32).tiny)[..., None]
+    # flash-merge the two normalized partials
+    m = jnp.maximum(m_p, m_r)
+
+    def coef(m_x, l_x):
+        return jnp.where(
+            jnp.isinf(m_x) & (m_x < 0), 0.0, jnp.exp(m_x - m)
+        ) * l_x
+
+    a, b = coef(m_p, l_p), coef(m_r, l_r)
+    o_p3 = o_p.reshape(B, heads, dh)
+    out = (a[..., None] * o_p3 + b[..., None] * o_r) / jnp.maximum(
+        a + b, jnp.finfo(jnp.float32).tiny
+    )[..., None]
+    return out.reshape(B, heads * dh)
+
+
+def flush_ring_to_pages(pool, ring, ring_start, lengths, n_rounds,
+                        page_table, page_size, n_pages):
+    """Reference XLA formulation of the ring flush (gather both candidate
+    pages, where-merge, window-scatter) — kept as the oracle for
+    tests/test_ring_attention.py. Production uses ops/ring_flush.ring_flush
+    (Pallas, in-place, touched-pages-only: this version moved ~4x the page
+    bytes and measured 0.52 ms/round at ref bench shapes).
+
+    A live slot's valid ring rows r in [0, min(length - ring_start,
+    n_rounds)) hold positions ring_start + r, spanning at most two pages
+    (n_rounds <= page_size). Rows of slots DEAD at flush time are dropped:
+    their pages are freed at the next burst start and fully re-prefilled
+    before anything reads them (scales included — fresh pages reset their
+    scale positionally)."""
+    B, R, two_dk = ring.shape
+    Dk = two_dk // 2
+    NP_, _, P, _ = pool.shape
+    W = page_table.shape[1]
+    live = lengths > 0
+    nv = jnp.where(live, jnp.minimum(lengths - ring_start, n_rounds), 0)
+    p0 = jnp.clip(ring_start, 0, None) // P
+    cand = p0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]   # [B, 2]
+    cand_ok = live[:, None] & (cand * P < (ring_start + nv)[:, None]) \
+        & (cand < W)
+    pid = jnp.take_along_axis(page_table, jnp.clip(cand, 0, W - 1), axis=1)
+
+    flat = pool.reshape(NP_ * 2, P, Dk)
+    win = jnp.clip(pid, 0, NP_ - 1) * 2                     # [B, 2]
+    cur_k = flat[win]                                       # [B, 2, P, Dk]
+    cur_v = flat[win + 1]
+
+    prow = jnp.arange(P, dtype=jnp.int32)[None, None, :]
+    r = cand[:, :, None] * P + prow - ring_start[:, None, None]  # [B, 2, P]
+    use = (r >= 0) & (r < nv[:, None, None])
+    rc = jnp.clip(r, 0, R - 1).reshape(B, 2 * P, 1)
+
+    def merge(cur, side):
+        rows = jnp.take_along_axis(
+            ring[:, :, side * Dk : (side + 1) * Dk], rc, axis=1
+        ).reshape(B, 2, P, Dk)
+        return jnp.where(use[..., None], rows, cur)
+
+    idx = jnp.concatenate([
+        jnp.where(cand_ok, pid * 2, 2 * NP_).reshape(-1),
+        jnp.where(cand_ok, pid * 2 + 1, 2 * NP_).reshape(-1),
+    ])
+    vals = jnp.concatenate([
+        merge(cur_k, 0).reshape(-1, P, Dk),
+        merge(cur_v, 1).reshape(-1, P, Dk),
+    ])
+    return flat.at[idx].set(vals, mode="drop").reshape(pool.shape)
 
 
 def _decode_rounds(

@@ -43,6 +43,22 @@ def _group_max_len(lengths_ref, g, group_size):
     return functools.reduce(jnp.maximum, vals)
 
 
+def _group_gate(lengths_ref, ring_start_ref, g, group_size):
+    """Per-group compute gate. Non-ring mode: the group's max length (blocks
+    past it carry nothing). Ring mode: page DMAs are bounded by the max
+    ring_start (pages only hold positions < ring_start), but a live group
+    must still run its i==0 step for the ring fold even when every slot's
+    context is entirely in the ring (ring_start == 0), hence the min(len,1)
+    floor."""
+    len_max = _group_max_len(lengths_ref, g, group_size)
+    if ring_start_ref is None:
+        return len_max
+    # ring mode: pages hold positions < ring_start only; a group whose
+    # slots are entirely in the ring has no page work (its o/m/l init at
+    # i == 0 runs unconditionally, outside the gate)
+    return _group_max_len(ring_start_ref, g, group_size)
+
+
 def _grouped_kernel(
     *refs,
     batch_size: int,
@@ -54,6 +70,7 @@ def _grouped_kernel(
     pages_per_dma: int = 1,
     packed_int4: bool = False,
     batched_heads: bool = False,
+    ring_mode: bool = False,
     mask_value: float = MASK_VALUE,
 ):
     G = group_size
@@ -65,17 +82,28 @@ def _grouped_kernel(
         (lengths_ref, page_tbl_ref, buffer_index_ref, init_flag_ref,
          *rest) = refs
         k_scales_ref = v_scales_ref = None
+    if ring_mode:
+        ring_start_ref, *rest = rest   # [B] i32 scalar prefetch
+    else:
+        ring_start_ref = None
     q_ref, *rest = rest
     if batched_heads:
         q2_ref, *rest = rest   # [G, D] row-per-slot view of the same q
     else:
         q2_ref = None
+    len_col_ref, *rest = rest
     if fused_write:
-        (len_col_ref, pages_hbm, kn_ref, vn_ref,
+        (pages_hbm, kn_ref, vn_ref,
          o_ref, pages_out, m_scratch, l_scratch, kv_buf, kv_sem,
          w_sem) = rest
+    elif ring_mode:
+        # partial mode: the online-softmax state (m, l) ships out alongside
+        # o so the caller can flash-merge the burst ring's contribution
+        # (computed in batched XLA) outside the kernel
+        (pages_hbm, o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = rest
+        kn_ref = vn_ref = pages_out = w_sem = None
     else:
-        (len_col_ref, pages_hbm,
+        (pages_hbm,
          o_ref, m_scratch, l_scratch, kv_buf, kv_sem) = rest
         kn_ref = vn_ref = pages_out = w_sem = None
 
@@ -84,7 +112,7 @@ def _grouped_kernel(
     page_size = kv_buf.shape[4]
     bk = ppcb * page_size
     H = n_heads
-    gmax = _group_max_len(lengths_ref, g, G)
+    gmax = _group_gate(lengths_ref, ring_start_ref, g, G)
 
     # Per-slot length gating: a slot's pages are DMA'd only while inside
     # ITS OWN length — short and dead slots in a live group fetch nothing
@@ -105,7 +133,10 @@ def _grouped_kernel(
         items = []
         for j in range(G):
             slot = g_ * G + j
-            ln = lengths_ref[slot]
+            # ring mode: pages only hold positions < ring_start (the
+            # burst's own rows are merged outside the kernel)
+            ln = (ring_start_ref[slot] if ring_mode
+                  else lengths_ref[slot])
             if pages_per_dma > 1:
                 # contiguous-page mode: the caller guarantees each
                 # pages_per_dma run of table entries is a consecutive HBM
@@ -162,8 +193,9 @@ def _grouped_kernel(
     def next_compute_block(g_, i_):
         def advance_g():
             def body(_, gg):
-                dead = _group_max_len(
-                    lengths_ref, lax.clamp(0, gg, num_groups - 1), G
+                dead = _group_gate(
+                    lengths_ref, ring_start_ref,
+                    lax.clamp(0, gg, num_groups - 1), G
                 ) == 0
                 return jnp.where((gg < num_groups) & dead, gg + 1, gg)
 
@@ -290,6 +322,103 @@ def _grouped_kernel(
         else:
             q_eff = q_all
 
+        if batched_heads:
+            # Head-batched scores: H per-head [1, dh] x [dh, bk] dots per
+            # slot collapse into ONE [bk, D] elementwise product and ONE
+            # block-sum dot against the head-selector matrix M [D, H]
+            # (M[c, h] = 1 iff feature c belongs to head h):
+            #   (M^T . (K ⊙ q)^T)[h, t] = sum_c q[c] K[t, c] [c in head h]
+            # Cuts the per-call dot count G*H-fold (the multihead kernel's
+            # measured fixed cost: 12,288 tiny dots/call at gpt2s shapes).
+            feat = lax.broadcasted_iota(jnp.int32, (dh * H, H), 0) // dh
+            hsel = lax.broadcasted_iota(jnp.int32, (dh * H, H), 1)
+            m_mat = (feat == hsel).astype(jnp.float32)
+            # PV side: one [H, ncols] x [ncols, D] dot per slot; the
+            # per-head outputs are the diagonal dh-blocks of the result.
+            # Extracting them by slicing produces lane-misaligned [1, dh]
+            # pieces Mosaic cannot concat ("offset mismatch on non-concat
+            # dimension"), so fold them with a second masked dot instead:
+            # zero the off-diagonal blocks, then contract with a [D, dh]
+            # stack of identities — an aligned [H, dh] block per slot.
+            rowmask = (
+                lax.broadcasted_iota(jnp.int32, (H, dh * H), 1) // dh
+                == lax.broadcasted_iota(jnp.int32, (H, dh * H), 0)
+            ).astype(jnp.float32)
+            fold = (
+                lax.broadcasted_iota(jnp.int32, (dh * H, dh), 0) % dh
+                == lax.broadcasted_iota(jnp.int32, (dh * H, dh), 1)
+            ).astype(jnp.float32)
+
+        def compute_qk(block_of, ncols):
+            """[G*H, ncols] raw QK^T scores over blocks from block_of(j, 0)
+            (a [ncols, Dk] raw K block per slot); per-slot dots — different
+            K per slot. Conversion temps are transient per dot, not held
+            across the flash stats."""
+            qk_rows = []
+            if batched_heads:
+                for j in range(G):
+                    kb = block_of(j, 0).astype(jnp.float32)
+                    p = kb * q2_ref[j : j + 1, :].astype(jnp.float32)
+                    qk_rows.append(
+                        lax.dot_general(
+                            m_mat, p, (((0,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )  # [H, ncols]
+            else:
+                for j in range(G):
+                    kb = block_of(j, 0)
+                    for h in range(H):
+                        qk_rows.append(
+                            lax.dot_general(
+                                q_eff[j * H + h : j * H + h + 1],
+                                head_block(kb, h),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                            )
+                        )
+            return jnp.concatenate(qk_rows, axis=0) * (dh ** -0.5)
+
+        def compute_pv(block_of, s_eff, ncols):
+            """[G*H, dh] PV products for scale-folded probabilities s_eff
+            [G*H, ncols] against V blocks from block_of(j, 1)."""
+            o_rows = []
+            if batched_heads:
+                for j in range(G):
+                    vb = block_of(j, 1).astype(jnp.float32)
+                    r = lax.dot_general(
+                        s_eff[j * H : (j + 1) * H, :], vb,
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [H, D]
+                    o_rows.append(
+                        lax.dot_general(
+                            r * rowmask, fold,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )  # [H, dh]
+            else:
+                for j in range(G):
+                    vb = block_of(j, 1)
+                    for h in range(H):
+                        t = lax.dot_general(
+                            s_eff[(j * H + h) : (j * H + h + 1)],
+                            head_block(vb, h),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                        if packed_int4:
+                            # planes were [byte, hi] = [16 hi + lo, hi]:
+                            # un-mix to [probs.lo | probs.hi]
+                            dhp_o = dh // 2
+                            t2 = t[:, dhp_o:]
+                            t = jnp.concatenate(
+                                [t[:, :dhp_o] - 16.0 * t2, t2], axis=1
+                            )
+                        o_rows.append(t)
+            return jnp.concatenate(o_rows, axis=0)
+
         # Dequantization is folded into SCORE columns instead of the KV
         # blocks: per page, q.(s*K)^T == s*(q.K^T) column-wise and
         # (w).(s*V) == (w*s).V row-wise, so one f32 multiply per score
@@ -341,152 +470,94 @@ def _grouped_kernel(
                 ).reshape(G * H, bk)
             return mat
 
-        # per-slot QK^T dots (different K per slot); conversion temps are
-        # transient per dot, not held across the flash stats
-        qk_rows = []
-        if batched_heads:
-            # Head-batched scores: H per-head [1, dh] x [dh, bk] dots per
-            # slot collapse into ONE [bk, D] elementwise product and ONE
-            # block-sum dot against the head-selector matrix M [D, H]
-            # (M[c, h] = 1 iff feature c belongs to head h):
-            #   (M^T . (K ⊙ q)^T)[h, t] = sum_c q[c] K[t, c] [c in head h]
-            # Cuts the per-call dot count G*H-fold (the multihead kernel's
-            # measured fixed cost: 12,288 tiny dots/call at gpt2s shapes).
-            feat = lax.broadcasted_iota(jnp.int32, (dh * H, H), 0) // dh
-            hsel = lax.broadcasted_iota(jnp.int32, (dh * H, H), 1)
-            m_mat = (feat == hsel).astype(jnp.float32)
-            for j in range(G):
-                kb = raw_block(j, 0).astype(jnp.float32)
-                p = kb * q2_ref[j : j + 1, :].astype(jnp.float32)
-                qk_rows.append(
-                    lax.dot_general(
-                        m_mat, p, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )  # [H, bk]
-        else:
-            for j in range(G):
-                kb = raw_block(j, 0)
-                for h in range(H):
-                    qk_rows.append(
-                        lax.dot_general(
-                            q_eff[j * H + h : j * H + h + 1],
-                            head_block(kb, h),
-                            (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                        )
-                    )
-        qk = jnp.concatenate(qk_rows, axis=0) * (dh ** -0.5)  # [G*H, bk]
-        if quantized:
-            qk = qk * scale_rows(k_scales_ref)
-
-        # batched masking: row r belongs to slot r // H; lengths as a VMEM
-        # column, expanded H-fold to match the j-major/h-minor row order
+        # batched masking columns: row r belongs to slot r // H; lengths as
+        # a VMEM column, expanded H-fold to match j-major/h-minor row order
         len_col = len_col_ref[...].astype(jnp.int32)      # [G, 1]
-        if H == 1:
-            row_len = len_col
-        else:
+
+        def smem_col(ref):
             # Mosaic rejects the (G, H) -> (G*H, 1) reshape (mixes the lane
             # dim into sublanes); build the column from SMEM scalars like
             # scale_rows does: G stacked [H, 1] broadcasts
-            row_len = jnp.concatenate(
-                [jnp.full((H, 1), lengths_ref[g * G + j], jnp.int32)
+            return jnp.concatenate(
+                [jnp.full((H, 1), ref[g * G + j], jnp.int32)
                  for j in range(G)],
                 axis=0,
             )
-        col = i * bk + lax.broadcasted_iota(jnp.int32, (G * H, bk), 1)
-        mask = col < row_len
-        # select, not add: columns past a slot's length may come from pages
-        # the gated DMA never fetched (stale/NaN bytes) — adding mask_value
-        # to NaN stays NaN and would poison the row max
-        qk = jnp.where(mask, qk, mask_value)
-        active = (i * bk < row_len).astype(jnp.float32)  # [G*H, 1]
 
-        m_prev = m_scratch[...]
-        l_prev = l_scratch[...]
-        m_curr_col = jnp.max(qk, axis=-1, keepdims=True)      # [G*H, 1]
-        # where-guard (not a multiply): inactive rows' blocks were never
-        # DMA'd, so qk may be built from arbitrary stale bytes — 0 * NaN
-        # would still poison the statistics
-        s_curr = jnp.where(
-            active > 0, jnp.exp(qk - m_curr_col), 0.0
-        )                                                     # [G*H, bk]
-        l_curr = lax.broadcast_in_dim(
-            jnp.sum(s_curr, axis=-1), l_prev.shape, (0,)
-        )
-        m_curr = lax.broadcast_in_dim(
-            jnp.where(active > 0, m_curr_col, -jnp.inf)[:, 0],
-            m_prev.shape, (0,),
-        )
-        m_next = jnp.maximum(m_prev, m_curr)
-        alpha = jnp.where(jnp.isinf(m_prev) & (m_prev < 0), 0.0,
-                          jnp.exp(m_prev - m_next))
-        beta = jnp.where(jnp.isinf(m_curr) & (m_curr < 0), 0.0,
-                         jnp.exp(m_curr - m_next))
-        l_next = alpha * l_prev + beta * l_curr
-        m_scratch[...] = m_next
-        l_scratch[...] = l_next
-        l_safe = jnp.maximum(l_next, jnp.finfo(jnp.float32).tiny)
+        row_len = len_col if H == 1 else smem_col(lengths_ref)
+        if ring_mode:
+            # positions < ring_start live in pages; >= ring_start in the ring
+            rs_row = smem_col(ring_start_ref) if H > 1 else jnp.concatenate(
+                [jnp.full((1, 1), ring_start_ref[g * G + j], jnp.int32)
+                 for j in range(G)], axis=0)
 
-        s_eff = s_curr * scale_rows(v_scales_ref) if quantized else s_curr
-        o_rows = []
-        if batched_heads:
-            # one [H, bk] x [bk, D] dot per slot; the per-head outputs are
-            # the diagonal dh-blocks of the result. Extracting them by
-            # slicing produces lane-misaligned [1, dh] pieces Mosaic cannot
-            # concat ("offset mismatch on non-concat dimension"), so fold
-            # them with a second masked dot instead: zero the off-diagonal
-            # blocks, then contract with a [D, dh] stack of identities —
-            # an aligned [H, dh] block per slot.
-            rowmask = (
-                lax.broadcasted_iota(jnp.int32, (H, dh * H), 1) // dh
-                == lax.broadcasted_iota(jnp.int32, (H, dh * H), 0)
-            ).astype(jnp.float32)
-            fold = (
-                lax.broadcasted_iota(jnp.int32, (dh * H, dh), 0) % dh
-                == lax.broadcasted_iota(jnp.int32, (dh * H, dh), 1)
-            ).astype(jnp.float32)
-            for j in range(G):
-                vb = raw_block(j, 1).astype(jnp.float32)
-                r = lax.dot_general(
-                    s_eff[j * H : (j + 1) * H, :], vb,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [H, D]
-                o_rows.append(
-                    lax.dot_general(
-                        r * rowmask, fold,
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                )  # [H, dh]
-        else:
-            for j in range(G):
-                vb = raw_block(j, 1)
-                for h in range(H):
-                    t = lax.dot_general(
-                        s_eff[(j * H + h) : (j * H + h + 1), :],
-                        head_block(vb, h),
-                        (((1,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                    )
-                    if packed_int4:
-                        # planes were [byte, hi] = [16 hi + lo, hi]: un-mix
-                        # to [probs.lo | probs.hi]
-                        dhp_o = dh // 2
-                        t2 = t[:, dhp_o:]
-                        t = jnp.concatenate(
-                            [t[:, :dhp_o] - 16.0 * t2, t2], axis=1
-                        )
-                    o_rows.append(t)
-        # same stale-bytes guard: s_eff rows are zero for inactive rows but
-        # 0-dot-NaN is NaN, so mask the product rows explicitly
-        o_curr = jnp.where(
-            active > 0, jnp.concatenate(o_rows, axis=0), 0.0
-        )                                          # [G*H, dh]
-        o_ref[...] = (
-            (l_prev * alpha * o_ref[...] + beta * o_curr) / l_safe
-        ).astype(o_ref.dtype)
+        def expand_h(mat_g, ncols):
+            if H == 1:
+                return mat_g
+            return lax.broadcast_in_dim(
+                mat_g, (G, H, ncols), (0, 2)
+            ).reshape(G * H, ncols)
+
+        def merge_block(qk_masked, active, pv_fn):
+            """Fold one masked score block into the online-softmax state and
+            the output accumulator. active: [G*H, 1] f32 where-guard (not
+            a multiply): inactive rows' blocks were never DMA'd, so scores
+            may be built from arbitrary stale bytes and 0 * NaN would still
+            poison the statistics."""
+            m_prev = m_scratch[...]
+            l_prev = l_scratch[...]
+            m_curr_col = jnp.max(qk_masked, axis=-1, keepdims=True)
+            s_curr = jnp.where(
+                active > 0, jnp.exp(qk_masked - m_curr_col), 0.0
+            )
+            l_curr = lax.broadcast_in_dim(
+                jnp.sum(s_curr, axis=-1), l_prev.shape, (0,)
+            )
+            m_curr = lax.broadcast_in_dim(
+                jnp.where(active > 0, m_curr_col, -jnp.inf)[:, 0],
+                m_prev.shape, (0,),
+            )
+            m_next = jnp.maximum(m_prev, m_curr)
+            alpha = jnp.where(jnp.isinf(m_prev) & (m_prev < 0), 0.0,
+                              jnp.exp(m_prev - m_next))
+            beta = jnp.where(jnp.isinf(m_curr) & (m_curr < 0), 0.0,
+                             jnp.exp(m_curr - m_next))
+            l_next = alpha * l_prev + beta * l_curr
+            m_scratch[...] = m_next
+            l_scratch[...] = l_next
+            l_safe = jnp.maximum(l_next, jnp.finfo(jnp.float32).tiny)
+            # same stale-bytes guard on the PV side: s rows are zero for
+            # inactive rows but 0-dot-NaN is NaN
+            o_curr = jnp.where(active > 0, pv_fn(s_curr), 0.0)
+            o_ref[...] = (
+                (l_prev * alpha * o_ref[...] + beta * o_curr) / l_safe
+            ).astype(o_ref.dtype)
+
+        # ---- page score block ----
+        # Ring mode: the burst's own rows are NOT kernel operands — widening
+        # the per-slot dots by R columns crossed an MXU tile boundary
+        # (128 -> 144 cols = 2 tiles, measured +0.3 ms/round), and carrying
+        # the ring through the kernel forced per-round buffer copies. The
+        # kernel scores PAGES ONLY (positions < ring_start) and ships its
+        # online-softmax state (o, m, l); the caller merges the ring
+        # contribution, computed as batched XLA einsums.
+        qk = compute_qk(raw_block, bk)
+        if quantized:
+            qk = qk * scale_rows(k_scales_ref)
+        c = lax.broadcasted_iota(jnp.int32, (G * H, bk), 1)
+        # select, not add: columns past the bound may come from pages the
+        # gated DMA never fetched (stale/NaN bytes) -- adding mask_value to
+        # NaN stays NaN and would poison the row max
+        page_bound = rs_row if ring_mode else row_len
+        qk = jnp.where(i * bk + c < page_bound, qk, mask_value)
+        active = (i * bk < page_bound).astype(jnp.float32)  # [G*H, 1]
+
+        def pv_page(s_curr):
+            s_eff = (s_curr * scale_rows(v_scales_ref)
+                     if quantized else s_curr)
+            return compute_pv(raw_block, s_eff, bk)
+
+        merge_block(qk, active, pv_page)
 
         if fused_write:
             # the write DMAs ran concurrently with the flash compute; they
@@ -553,8 +624,8 @@ def _best_ppcb(w, g, page_size, d, kv_bytes):
 @functools.partial(
     jax.jit,
     static_argnames=("n_heads", "group_size", "pages_per_compute_block",
-                     "contiguous_pages", "pages_per_dma", "packed_int4",
-                     "interpret"),
+                     "contiguous_pages", "pages_per_dma", "max_run_pages",
+                     "packed_int4", "interpret"),
 )
 def paged_decode_attention_grouped(
     q,            # [B, D]
@@ -565,12 +636,16 @@ def paged_decode_attention_grouped(
     v_scales=None,
     k_new=None,   # [B, D] raw new-token K rows -> fused in-kernel write
     v_new=None,   # [B, D] raw new-token V rows
+    ring=None,        # [B, R, 2*Dk] pool-dtype burst ring (cols :Dk=K)
+    ring_scales=None,  # [B, 128] f32 (cols 0..R-1 K, 64..64+R-1 V scales)
+    ring_start=None,   # [B] i32 first position held by the ring
     *,
     n_heads: int = 1,
     group_size: int | None = None,
     pages_per_compute_block: int | None = None,
     contiguous_pages: bool = False,
     pages_per_dma: int | None = None,
+    max_run_pages: int | None = None,
     packed_int4: bool = False,
     interpret: bool = False,
 ):
@@ -580,7 +655,21 @@ def paged_decode_attention_grouped(
     aliased pool) and the call returns (out, new_kv_pages). Replaces the
     XLA per-row scatter (measured ~0.39 ms/round of fixed cost at bench
     shapes; the reference's analogue is the in-kernel cache append of
-    decoder.cu:69-90)."""
+    decoder.cu:69-90).
+
+    RING/PARTIAL MODE (``ring_start`` given; mutually exclusive with
+    k_new): the pool is READ-ONLY and holds positions < ring_start[b] (the
+    burst's own decode rows live in a caller-side ring); page DMAs and
+    masks are gated by ring_start instead of length, and the call returns
+    the ONLINE-SOFTMAX PARTIAL (out, m, l) over the page context — each
+    [B, n_heads] after the caller reshapes — so the caller can flash-merge
+    the ring's contribution (batched XLA einsums over [B, R, D]; see
+    models/paged.make_ring_round_callbacks) and flush the ring to pages
+    once per burst (ops/ring_flush). This keeps the burst free of per-round
+    page write-backs — the write path that was 2.4 of 8.6 ms/round on the
+    12-layer model — without widening the kernel's per-slot dots past an
+    MXU tile or making the ring a per-round kernel operand (both measured
+    regressions)."""
     B, D = q.shape
     NP, two, P, Dk = kv_pages.shape
     assert two == 2 and Dk == (D // 2 if packed_int4 else D)
@@ -606,6 +695,9 @@ def paged_decode_attention_grouped(
         if k_new is not None:
             k_new = jnp.concatenate([k_new, zrow.astype(k_new.dtype)])
             v_new = jnp.concatenate([v_new, zrow.astype(v_new.dtype)])
+        if ring_start is not None:
+            ring_start = jnp.concatenate(
+                [ring_start, jnp.zeros((pad,), ring_start.dtype)])
         B += pad
     if packed_int4:
         assert dh % 2 == 0 and k_scales is not None
@@ -618,6 +710,10 @@ def paged_decode_attention_grouped(
     quantized = k_scales is not None
     fused_write = k_new is not None
     assert (k_new is None) == (v_new is None)
+    ring_mode = ring_start is not None
+    if ring_mode:
+        assert not fused_write, "ring mode replaces the fused decode write"
+
     if contiguous_pages:
         # caller guarantees each slot's table row is a consecutive page
         # range (AutonomousEngine's group allocator); fetch whole runs with
@@ -631,6 +727,14 @@ def paged_decode_attention_grouped(
             ppd = min(auto, ppcb)
         else:
             ppd = min(pages_per_dma, ppcb)
+        if max_run_pages is not None:
+            # contiguity may only hold within allocation units smaller than
+            # a table row (overcommit half-groups): a run must never cross
+            # a unit boundary, so it must DIVIDE the unit size (runs start
+            # at multiples of ppd)
+            import math as _math
+
+            ppd = _math.gcd(ppd, max_run_pages)
         assert ppcb % ppd == 0
     else:
         assert pages_per_dma in (None, 1), (
@@ -652,6 +756,8 @@ def paged_decode_attention_grouped(
     ]
     if quantized:
         scalar_args += [k_scales, v_scales]
+    if ring_mode:
+        scalar_args += [ring_start]
 
     in_specs = [
         block_spec,
@@ -665,12 +771,22 @@ def paged_decode_attention_grouped(
         inputs.insert(1, q)
     out_specs = block_spec
     out_shape = jax.ShapeDtypeStruct((B * n_heads, dh), jnp.float32)
+    if ring_mode:
+        # m/l ship out as dh-broadcast columns (they live in that layout
+        # as the flash state anyway); the caller reads column 0
+        out_specs = [block_spec, block_spec, block_spec]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((B * n_heads, dh), jnp.float32),
+                     jax.ShapeDtypeStruct((B * n_heads, dh), jnp.float32)]
     scratch = [
-        pltpu.VMEM((G * n_heads, dh), jnp.float32),  # m
-        pltpu.VMEM((G * n_heads, dh), jnp.float32),  # l
         pltpu.VMEM((2, G, ppcb, 2, P, Dk), kv_pages.dtype),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if not ring_mode:
+        scratch = [
+            pltpu.VMEM((G * n_heads, dh), jnp.float32),  # m
+            pltpu.VMEM((G * n_heads, dh), jnp.float32),  # l
+        ] + scratch
     io_aliases = {}
     if fused_write:
         new_spec = pl.BlockSpec((G, D), lambda g, i, *_: (g, 0))
@@ -695,6 +811,7 @@ def paged_decode_attention_grouped(
             pages_per_dma=ppd,
             packed_int4=packed_int4,
             batched_heads=batched,
+            ring_mode=ring_mode,
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(scalar_args),
@@ -714,4 +831,9 @@ def paged_decode_attention_grouped(
     if fused_write:
         o, new_pages = out
         return o.reshape(B, D)[:b_orig], new_pages
+    if ring_mode:
+        o, m, l = out
+        return (o.reshape(B, D)[:b_orig],
+                m.reshape(B, n_heads, dh)[:b_orig, :, 0],
+                l.reshape(B, n_heads, dh)[:b_orig, :, 0])
     return out.reshape(B, D)[:b_orig]

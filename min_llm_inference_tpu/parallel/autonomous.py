@@ -13,7 +13,7 @@ Design:
     buffers. Each dp group is an independent continuous-batching domain
     with its own queue head — ZERO cross-dp communication inside the
     burst (the status fetch is the only all-groups view, and it is just a
-    [dp, 3] array the host reads).
+    [dp, 4] array the host reads).
   * tp shards attention heads + feature dims Megatron-style, reusing
     parallel/sharded.py's TpShardCtx seams (embed all-gather, wo/FFN/logits
     psum, per-page int8 scale pmax) — the local body IS
@@ -82,6 +82,11 @@ def auto_state_specs(model_cfg: ModelConfig, engine_cfg: EngineConfig):
         out_tokens=P("dp", None),
         final_lens=P("dp"),
         rng_key=None,
+        grown=P("dp") if engine_cfg.overcommit else None,
+        adm_seq=P("dp") if engine_cfg.overcommit else None,
+        seq_ctr=P("dp") if engine_cfg.overcommit else None,
+        retry_stack=P("dp") if engine_cfg.overcommit else None,
+        retry_top=P("dp") if engine_cfg.overcommit else None,
     )
 
 
@@ -97,7 +102,8 @@ def init_sharded_auto_state(
     B_loc = local_cfg.n_slots
     W = local_cfg.pages_per_slot(model_cfg.n_seq)
     NP_loc = local_cfg.n_pages
-    NG_loc = NP_loc // W
+    NG_loc = (NP_loc // (W // 2) if local_cfg.overcommit
+              else NP_loc // W)
     feat = model_cfg.emb_dim // 2 if local_cfg.kv_packed else model_cfg.emb_dim
     nl = model_cfg.n_layers
 
@@ -131,6 +137,13 @@ def init_sharded_auto_state(
         out_tokens=put(z(dp * r_cap_loc, model_cfg.n_seq), P("dp", None)),
         final_lens=put(z(dp * r_cap_loc), P("dp")),
         rng_key=None,
+        grown=(put(jnp.zeros(dp * B_loc, bool), P("dp"))
+               if local_cfg.overcommit else None),
+        adm_seq=put(z(dp * B_loc), P("dp")) if local_cfg.overcommit else None,
+        seq_ctr=put(z(dp), P("dp")) if local_cfg.overcommit else None,
+        retry_stack=(put(z(dp * r_cap_loc), P("dp"))
+                     if local_cfg.overcommit else None),
+        retry_top=put(z(dp), P("dp")) if local_cfg.overcommit else None,
     )
 
 
@@ -139,6 +152,9 @@ def _local_burst(model_cfg, local_cfg, attention_impl, max_new, ctx,
     """shard_map body: one group's burst = the single-chip burst at local
     shapes. Per-group scalars arrive as [1] slices of the [dp] arrays."""
     st_l = st._replace(queue_head=st.queue_head[0], free_top=st.free_top[0])
+    if local_cfg.overcommit:
+        st_l = st_l._replace(seq_ctr=st.seq_ctr[0],
+                             retry_top=st.retry_top[0])
     new_st, status = _autonomous_burst(
         model_cfg, local_cfg, attention_impl, max_new, None, frozenset(),
         ctx, params, st_l, prompts, plens, n_real[0],
@@ -147,7 +163,10 @@ def _local_burst(model_cfg, local_cfg, attention_impl, max_new, ctx,
         queue_head=new_st.queue_head.reshape(1),
         free_top=new_st.free_top.reshape(1),
     )
-    return new_st, status.reshape(1, 3)
+    if local_cfg.overcommit:
+        new_st = new_st._replace(seq_ctr=new_st.seq_ctr.reshape(1),
+                                 retry_top=new_st.retry_top.reshape(1))
+    return new_st, status.reshape(1, 4)
 
 
 @functools.lru_cache(maxsize=None)
@@ -281,20 +300,22 @@ class ShardedAutonomousEngine:
                         self.params, st, prompts_dev, plens_dev, n_real
                     )
             with phase("status_fetch"):
-                stat = np.asarray(status)  # [dp, 3] live/head/free
+                stat = np.asarray(status)  # [dp, 4] live/head/free/retry
             live_total = int(stat[:, 0].sum())
             heads = tuple(int(x) for x in stat[:, 1])
             frees = tuple(int(x) for x in stat[:, 2])
-            queued = any(heads[g] < n_loc[g] for g in range(dp))
+            retries = tuple(int(x) for x in stat[:, 3])
+            queued = any(heads[g] < n_loc[g] or retries[g] > 0
+                         for g in range(dp))
             done = live_total == 0 and not queued
             # same two-consecutive-no-progress stall rule as single-chip
             # (page freeing happens at the start of the NEXT burst)
             if live_total == 0 and queued:
-                if (heads, frees) == prev_status:
+                if (heads, frees, retries) == prev_status:
                     raise RuntimeError(
                         "sharded autonomous engine stalled: pool exhausted"
                     )
-                prev_status = (heads, frees)
+                prev_status = (heads, frees, retries)
             else:
                 prev_status = None
         with phase("drain_fetch"):

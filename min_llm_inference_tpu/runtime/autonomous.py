@@ -18,12 +18,17 @@ amortize host trips, inference_model.cpp:56-81):
     (live slots, queue head, free pages) between chunks; generated
     sequences are fetched ONCE at the end.
 
-Trade-off vs the host engines: admission grants a slot ALL its
-pages_per_slot pages upfront (no growth, no preemption), so the pool must
-hold >= concurrent_slots * pages_per_slot pages. Overcommit + preemption
-remain host-engine features. Outputs are token-identical to the host
-engines (greedy decode is deterministic; scheduling changes only slot
-assignment, not per-request math).
+Admission policy (EngineConfig.overcommit):
+  * full grant (default False... set per workload): a slot gets ALL its
+    pages_per_slot pages at admission — no growth or preemption, pool must
+    hold >= concurrent_slots * pages_per_slot pages.
+  * overcommit=True: half-group grants with on-demand growth and
+    youngest-first preemption + device retry stack
+    (_overcommit_admission) — the reference's core paged-KV behaviors
+    (paged_item_storage.cpp:14-60) running entirely on device.
+Outputs are token-identical to the host engines either way (greedy decode
+is deterministic; scheduling changes only slot assignment and recompute
+timing, not per-request math).
 """
 
 from __future__ import annotations
@@ -42,9 +47,12 @@ from ..models.model import DEFAULT_CTX, decode_round_tokens, prefill_write_kv
 from ..utils.profiling import phase
 from ..models.paged import (
     PagedKVState,
+    flush_ring_to_pages,
     init_paged_state,
     make_prefill_kv_writer,
+    make_ring_round_callbacks,
     make_round_kv_callbacks,
+    ring_pad_rows,
 )
 from .item_storage import ItemStorage, Request
 
@@ -62,19 +70,28 @@ class AutoState(NamedTuple):
     out_tokens: jax.Array   # [R_total, S] i32 generated tokens by position
     final_lens: jax.Array   # [R_total] i32 (0 = unfinished)
     rng_key: jax.Array | None = None  # PRNG state (sampling mode only)
+    # --- overcommit mode only (None under full grant) ---
+    grown: jax.Array | None = None       # [B] bool — slot holds 2 halves
+    adm_seq: jax.Array | None = None     # [B] i32 admission order (victims)
+    seq_ctr: jax.Array | None = None     # [] i32
+    retry_stack: jax.Array | None = None  # [R_total] i32 preempted rids
+    retry_top: jax.Array | None = None    # [] i32
 
 
 def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests: int, sample_seed: int | None = None) -> AutoState:
-    """Pages are allocated in CONTIGUOUS groups of W = pages_per_slot: the
-    free list holds group ids, and a slot's page-table row is always
-    [g*W, g*W+1, ..., g*W+W-1]. Allocation and freeing both move whole
-    groups (the autonomous engine's full-grant model), so no fragmentation
-    is possible — and the guaranteed contiguity lets the grouped Pallas
-    kernel fetch multi-page runs with ONE DMA (contiguous_pages=True)."""
+    """Pages are allocated in CONTIGUOUS groups: the free list holds group
+    ids, and a slot's page-table row is always consecutive pages within
+    each group. Full grant: one group of W = pages_per_slot pages per slot
+    (no fragmentation possible). Overcommit: HALF-groups of W/2 pages —
+    admission grants one, growth adds a second (each half is contiguous, so
+    multi-page run DMAs that divide W/2 stay valid). Contiguity is what
+    lets the grouped Pallas kernel fetch multi-page runs with ONE DMA
+    (contiguous_pages=True)."""
     B = engine_cfg.n_slots
     W = engine_cfg.pages_per_slot(model_cfg.n_seq)
     NP = engine_cfg.n_pages
-    NG = NP // W
+    oc = engine_cfg.overcommit
+    NG = NP // (W // 2) if oc else NP // W
     return AutoState(
         kv=init_paged_state(model_cfg, engine_cfg),
         page_table=jnp.zeros((B, W), jnp.int32),
@@ -89,7 +106,165 @@ def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests
         final_lens=jnp.zeros(n_requests, jnp.int32),
         rng_key=(None if sample_seed is None
                  else jax.random.PRNGKey(sample_seed)),
+        grown=jnp.zeros(B, bool) if oc else None,
+        adm_seq=jnp.zeros(B, jnp.int32) if oc else None,
+        seq_ctr=jnp.zeros((), jnp.int32) if oc else None,
+        retry_stack=jnp.zeros(n_requests, jnp.int32) if oc else None,
+        retry_top=jnp.zeros((), jnp.int32) if oc else None,
     )
+
+
+def _overcommit_admission(engine_cfg: EngineConfig, max_new: int,
+                          st: AutoState, prompts_all, plens_all, n_real):
+    """Device-side paged scheduling with overcommit: free dead slots' halves
+    -> grow slots about to cross the half boundary (n_forward_rounds
+    lookahead) -> preempt the YOUNGEST live slots if the pool is dry
+    (reference semantics: tail preempt, self-preempt last,
+    /root/reference/src/paged_item_storage.cpp:14-60; re-queue at head ==
+    LIFO retry stack) -> admit retry-stack rids then queue-head rids with
+    ONE half each (two for prompts a half cannot hold).
+
+    All vectorized jnp on [B]/[max_new] arrays — runs inside the jitted
+    burst on device, zero host trips. Granularity is a HALF-group (W/2
+    contiguous pages) rather than the reference's single page: contiguity
+    is what keeps multi-page run DMAs legal (pages_per_dma divides W/2).
+
+    Greedy determinism makes preemption token-dropping safe: a re-admitted
+    request recomputes the identical tokens from its prompt (the invariant
+    the host engines already exploit)."""
+    B = st.lengths.shape[0]
+    W = st.page_table.shape[1]
+    Hp = W // 2
+    P = engine_cfg.page_size
+    NP = engine_cfg.n_pages
+    NH = NP // Hp
+    R = engine_cfg.n_forward_rounds
+    R_total = prompts_all.shape[0]
+    S_pre = prompts_all.shape[1]
+    i32 = jnp.int32
+    units = jnp.arange(Hp, dtype=i32)[None, :]
+
+    page_table, lengths = st.page_table, st.lengths
+    grown = st.grown
+    page_stack, free_top = st.page_stack, st.free_top
+    retry_stack, retry_top = st.retry_stack, st.retry_top
+
+    def push_units(stack, top, mask1, units1, mask2, units2):
+        ord1 = jnp.cumsum(mask1) - 1
+        stack = stack.at[jnp.where(mask1, top + ord1, NH)].set(
+            units1, mode="drop")
+        top = top + jnp.sum(mask1)
+        ord2 = jnp.cumsum(mask2) - 1
+        stack = stack.at[jnp.where(mask2, top + ord2, NH)].set(
+            units2, mode="drop")
+        return stack, top + jnp.sum(mask2)
+
+    h1 = page_table[:, 0] // Hp
+    h2 = page_table[:, Hp] // Hp
+
+    # ---- free dead-but-allocated slots' halves ----
+    to_free = (lengths == 0) & st.allocated
+    page_stack, free_top = push_units(
+        page_stack, free_top, to_free, h1, to_free & grown, h2)
+    allocated = st.allocated & ~to_free
+    grown = grown & ~to_free
+    live = lengths > 0
+
+    # ---- growth demand: this burst writes positions up to len + R - 2 ----
+    need2 = live & ~grown & (lengths + R - 1 > Hp * P)
+    n_need = jnp.sum(need2)
+
+    # ---- preempt the youngest live slots until growth fits ----
+    key = jnp.where(live, st.adm_seq, -1)
+    order = jnp.argsort(-key)                     # youngest live first
+    freed_cum = jnp.cumsum(
+        jnp.where(live, 1 + grown.astype(i32), 0)[order])
+    need_cum = jnp.cumsum(need2.astype(i32)[order])
+    ok = jnp.concatenate([
+        (free_top >= n_need).reshape(1),
+        free_top + freed_cum >= n_need - need_cum,
+    ])
+    k_star = jnp.sum(~ok).astype(i32)   # monotone: first-True index
+    rank = jnp.zeros(B, i32).at[order].set(jnp.arange(B, dtype=i32))
+    preempt = live & (rank < k_star)
+    p_ord = jnp.cumsum(preempt) - 1
+    retry_stack = retry_stack.at[
+        jnp.where(preempt, retry_top + p_ord, R_total)
+    ].set(st.rid, mode="drop")
+    retry_top = retry_top + jnp.sum(preempt)
+    page_stack, free_top = push_units(
+        page_stack, free_top, preempt, h1, preempt & grown, h2)
+    lengths = jnp.where(preempt, 0, lengths)
+    allocated = allocated & ~preempt
+    grown = grown & ~preempt
+    live = live & ~preempt
+    need2 = need2 & ~preempt
+
+    # ---- grow: pop one half per remaining candidate (fits by k_star) ----
+    g_ord = jnp.cumsum(need2) - 1
+    g_pop = page_stack[jnp.clip(free_top - 1 - g_ord, 0, NH - 1)]
+    second = jnp.where(need2, g_pop, h2)[:, None] * Hp + units
+    page_table = jnp.where(need2[:, None],
+                           jnp.concatenate([page_table[:, :Hp], second],
+                                           axis=1),
+                           page_table)
+    free_top = free_top - jnp.sum(need2)
+    grown = grown | need2
+
+    # ---- admission: retry stack first (LIFO = reference re-queue-at-head),
+    # then the queue head; one half each, two if the prompt + lookahead
+    # cannot fit a half ----
+    dead = ~allocated
+    n_retry = retry_top
+    remaining = jnp.maximum(n_real - st.queue_head, 0)
+    j = jnp.arange(max_new, dtype=i32)
+    from_retry = j < n_retry
+    r_idx = jnp.clip(retry_top - 1 - j, 0, R_total - 1)
+    rid_vec = jnp.where(from_retry, retry_stack[r_idx],
+                        st.queue_head + j - n_retry)
+    # rids are GLOBAL; buffer rows are rid % R_total (ring buffer)
+    row_vec = jnp.clip(rid_vec, 0, None) % R_total
+    plens_cand = plens_all[row_vec]
+    hneed = 1 + (plens_cand + R - 1 > Hp * P).astype(i32)
+    hcum = jnp.cumsum(hneed)
+    m_basic = jnp.minimum(jnp.minimum(jnp.sum(dead), max_new),
+                          n_retry + remaining)
+    admit = (j < m_basic) & (hcum <= free_top)   # prefix-closed
+    m = jnp.sum(admit).astype(i32)
+    slot_ids_all = jnp.nonzero(dead, size=B, fill_value=B)[0]
+    slot_ids = jnp.where(admit, slot_ids_all[:max_new], B)  # B = drop
+    plens = jnp.where(admit, plens_cand, 0)
+    prompts = prompts_all[row_vec]
+    off1 = hcum - hneed
+    u1 = page_stack[jnp.clip(free_top - 1 - off1, 0, NH - 1)]
+    u2 = page_stack[jnp.clip(free_top - hcum, 0, NH - 1)]
+    two = hneed == 2
+    first = u1[:, None] * Hp + units
+    # ungrown slots DUPLICATE the first half in the table's second half:
+    # those entries are never read (length-gated below Hp*P until grown)
+    # and never written (the prompt + lookahead fits the first half)
+    sec = jnp.where(two[:, None], u2[:, None] * Hp + units, first)
+    granted = jnp.concatenate([first, sec], axis=1)   # [max_new, W]
+    page_table = page_table.at[slot_ids].set(granted, mode="drop")
+    free_top = free_top - jnp.sum(jnp.where(admit, hneed, 0))
+    n_from_retry = jnp.minimum(m, n_retry)
+    retry_top = retry_top - n_from_retry
+    queue_head = st.queue_head + (m - n_from_retry)
+    lengths = lengths.at[slot_ids].set(plens, mode="drop")
+    last_prompt_tok = prompts[j, jnp.clip(plens - 1, 0, S_pre - 1)]
+    last_tokens = st.last_tokens.at[slot_ids].set(
+        last_prompt_tok, mode="drop")
+    rid = st.rid.at[slot_ids].set(rid_vec, mode="drop")
+    allocated = allocated | jnp.zeros(B, bool).at[slot_ids].set(
+        True, mode="drop")
+    grown = grown.at[slot_ids].set(two, mode="drop") if Hp else grown
+    adm_seq = st.adm_seq.at[slot_ids].set(st.seq_ctr + j, mode="drop")
+    seq_ctr = st.seq_ctr + m
+
+    oc_state = dict(grown=grown, adm_seq=adm_seq, seq_ctr=seq_ctr,
+                    retry_stack=retry_stack, retry_top=retry_top)
+    return (page_table, lengths, last_tokens, rid, allocated, queue_head,
+            free_top, page_stack, granted, plens, prompts, m, oc_state)
 
 
 def _autonomous_burst(
@@ -115,47 +290,66 @@ def _autonomous_burst(
     R_total = prompts_all.shape[0]
     S_pre = prompts_all.shape[1]
 
-    NG = NP // W
+    if engine_cfg.overcommit:
+        # half-grant admission with growth + youngest-first preemption +
+        # device retry stack (see _overcommit_admission)
+        (page_table, lengths, last_tokens, rid, allocated, queue_head,
+         free_top, page_stack, granted, plens, prompts, m, oc) = \
+            _overcommit_admission(engine_cfg, max_new, st, prompts_all,
+                                  plens_all, n_real)
+    else:
+        # full grant: one W-page group per slot, no growth/preemption
+        oc = dict(grown=None, adm_seq=None, seq_ctr=None,
+                  retry_stack=None, retry_top=None)
+        NG = NP // W
 
-    # ---- 1. free page GROUPS of dead-but-allocated slots (vectorized
-    # push; a slot's row is a contiguous group, id = first page // W) ----
-    to_free = (st.lengths == 0) & st.allocated
-    free_ord = jnp.cumsum(to_free) - 1          # [B] position among freed
-    nf = jnp.sum(to_free)
-    push_pos = jnp.where(to_free, st.free_top + free_ord, NG)
-    page_stack = st.page_stack.at[push_pos].set(
-        st.page_table[:, 0] // W, mode="drop"
-    )
-    free_top = st.free_top + nf
-    allocated = st.allocated & ~to_free
+        # ---- 1. free page GROUPS of dead-but-allocated slots
+        # (vectorized push; a slot's row is a contiguous group,
+        # id = first page // W) ----
+        to_free = (st.lengths == 0) & st.allocated
+        free_ord = jnp.cumsum(to_free) - 1      # [B] position among freed
+        nf = jnp.sum(to_free)
+        push_pos = jnp.where(to_free, st.free_top + free_ord, NG)
+        page_stack = st.page_stack.at[push_pos].set(
+            st.page_table[:, 0] // W, mode="drop"
+        )
+        free_top = st.free_top + nf
+        allocated = st.allocated & ~to_free
 
-    # ---- 2. admission: pop queue head into dead slots, one group each ----
-    dead = ~allocated
-    remaining = n_real - st.queue_head
-    m = jnp.minimum(
-        jnp.minimum(jnp.sum(dead), max_new),
-        jnp.minimum(remaining, free_top),
-    ).astype(jnp.int32)
-    slot_ids_all = jnp.nonzero(dead, size=B, fill_value=B)[0]
-    admit_mask = jnp.arange(max_new) < m
-    slot_ids = jnp.where(admit_mask, slot_ids_all[:max_new], B)  # B = drop
-    req_ix = st.queue_head + jnp.arange(max_new, dtype=jnp.int32)
-    req_ix_c = jnp.clip(req_ix, 0, R_total - 1)
-    plens = jnp.where(admit_mask, plens_all[req_ix_c], 0)
-    prompts = prompts_all[req_ix_c]  # [max_new, S_pre]
-    # j-th admitted pops stack[free_top - 1 - j]
-    gids = page_stack[jnp.clip(free_top - 1 - jnp.arange(max_new), 0, NG - 1)]
-    granted = gids[:, None] * W + jnp.arange(W, dtype=jnp.int32)[None, :]
-    page_table = st.page_table.at[slot_ids].set(granted, mode="drop")
-    free_top = free_top - m
-    queue_head = st.queue_head + m
-    lengths = st.lengths.at[slot_ids].set(plens, mode="drop")
-    last_prompt_tok = prompts[
-        jnp.arange(max_new), jnp.clip(plens - 1, 0, S_pre - 1)
-    ]
-    last_tokens = st.last_tokens.at[slot_ids].set(last_prompt_tok, mode="drop")
-    rid = st.rid.at[slot_ids].set(req_ix_c, mode="drop")
-    allocated = allocated | jnp.zeros(B, bool).at[slot_ids].set(True, mode="drop")
+        # ---- 2. admission: pop queue head into dead slots, one group
+        # each ----
+        dead = ~allocated
+        remaining = n_real - st.queue_head
+        m = jnp.minimum(
+            jnp.minimum(jnp.sum(dead), max_new),
+            jnp.minimum(remaining, free_top),
+        ).astype(jnp.int32)
+        slot_ids_all = jnp.nonzero(dead, size=B, fill_value=B)[0]
+        admit_mask = jnp.arange(max_new) < m
+        slot_ids = jnp.where(admit_mask, slot_ids_all[:max_new], B)
+        # rids are GLOBAL request indices; buffer rows are rid % R_total
+        # (a ring buffer — StreamingSession recycles rows of collected
+        # requests; the one-shot engine never wraps)
+        req_ix = st.queue_head + jnp.arange(max_new, dtype=jnp.int32)
+        req_ix_c = req_ix % R_total
+        plens = jnp.where(admit_mask, plens_all[req_ix_c], 0)
+        prompts = prompts_all[req_ix_c]  # [max_new, S_pre]
+        # j-th admitted pops stack[free_top - 1 - j]
+        gids = page_stack[
+            jnp.clip(free_top - 1 - jnp.arange(max_new), 0, NG - 1)]
+        granted = gids[:, None] * W + jnp.arange(W, dtype=jnp.int32)[None, :]
+        page_table = st.page_table.at[slot_ids].set(granted, mode="drop")
+        free_top = free_top - m
+        queue_head = st.queue_head + m
+        lengths = st.lengths.at[slot_ids].set(plens, mode="drop")
+        last_prompt_tok = prompts[
+            jnp.arange(max_new), jnp.clip(plens - 1, 0, S_pre - 1)
+        ]
+        last_tokens = st.last_tokens.at[slot_ids].set(
+            last_prompt_tok, mode="drop")
+        rid = st.rid.at[slot_ids].set(req_ix, mode="drop")
+        allocated = allocated | jnp.zeros(B, bool).at[slot_ids].set(
+            True, mode="drop")
 
     # ---- 3. prefill admitted prompts (skipped when none) ----
     # Admitted rows are the FIRST m of the max_new block, so the prefill
@@ -197,20 +391,65 @@ def _autonomous_burst(
     # page-granular prefill write).
     R = engine_cfg.n_forward_rounds
 
-    def round_fn(carry, _):
-        kv, lengths, last, key = carry
-        kv_pages = list(kv.kv_pages)
-        k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
-        live = lengths > 0
-        write_kv, attend = make_round_kv_callbacks(
-            model_cfg, engine_cfg, attention_impl, page_table,
-            kv_pages, k_scales, v_scales, lengths,
-            n_heads=ctx.local_heads(model_cfg), scale_reduce=scale_reduce,
-            # the group allocator guarantees every slot's page row is a
-            # consecutive HBM range -> multi-page runs move as one DMA
-            contiguous_pages=True,
-            ablate=ablate,
+    # Ring decode (grouped kernel only): each round's K/V rows go to a
+    # dense per-layer ring (quantized, dynamic-update-slice at column r)
+    # instead of a full-page in-kernel write-back; the kernel reads the
+    # pool READ-ONLY and folds the ring at grid step i == 0; the pool is
+    # updated once per burst (flush_ring_to_pages). ring_start = burst-
+    # start length - 1: the first position whose K/V this burst computes
+    # (the previous burst's last generated token, or the last prompt
+    # token for freshly admitted slots — whose page row the flush then
+    # overwrites with the identical bytes prefill wrote).
+    use_ring = engine_cfg.decode_ring and attention_impl == "grouped"
+    if use_ring:
+        ring_start = jnp.maximum(lengths - 1, 0)
+        feat_loc = kv.kv_pages[0].shape[-1]   # local width under tp
+        R_pad = ring_pad_rows(R)
+        rings0 = tuple(
+            jnp.zeros((B, R_pad, 2 * feat_loc), engine_cfg.kv_jax_dtype)
+            for _ in range(model_cfg.n_layers)
         )
+        ring_scs0 = tuple(
+            jnp.zeros((B, 128), jnp.float32)
+            for _ in range(model_cfg.n_layers)
+        ) if engine_cfg.kv_quantized else ()
+    else:
+        rings0 = ring_scs0 = ()
+
+    # In ring mode the pools are LOOP-INVARIANT across the decode scan
+    # (read-only in the kernel; updated once by the flush) — close over
+    # them as scan constants instead of threading them through the carry:
+    # a 200MB-per-layer carry that merely passes through still cost a full
+    # pool copy per round on hardware (measured: ref 446k -> 234k tok/s,
+    # gpt2s 78.6k -> 39.5k — both ~2.5 us per pool-MB per round).
+    pools_const = kv.kv_pages if use_ring else None
+
+    def round_fn(carry, r_idx):
+        kv, rings, ring_scs, lengths, last, key = carry
+        kv_pages = list(pools_const if use_ring else kv.kv_pages)
+        k_scales, v_scales = list(kv.k_scales), list(kv.v_scales)
+        rings_l, ring_scs_l = list(rings), list(ring_scs)
+        live = lengths > 0
+        if use_ring:
+            write_kv, attend = make_ring_round_callbacks(
+                model_cfg, engine_cfg, page_table,
+                kv_pages, k_scales, v_scales, rings_l, ring_scs_l, lengths,
+                ring_start, r_idx,
+                n_heads=ctx.local_heads(model_cfg),
+                scale_reduce=scale_reduce,
+                contiguous_pages=True,
+                ablate=ablate,
+            )
+        else:
+            write_kv, attend = make_round_kv_callbacks(
+                model_cfg, engine_cfg, attention_impl, page_table,
+                kv_pages, k_scales, v_scales, lengths,
+                n_heads=ctx.local_heads(model_cfg), scale_reduce=scale_reduce,
+                # the group allocator guarantees every slot's page row is a
+                # consecutive HBM range -> multi-page runs move as one DMA
+                contiguous_pages=True,
+                ablate=ablate,
+            )
 
         if sampling is None:
             ntf = None
@@ -230,21 +469,43 @@ def _autonomous_burst(
             params, model_cfg, lengths, last, write_kv, attend, ctx,
             next_token_fn=ntf, ablate=ablate,
         )
-        # emitted token's position in its sequence = old length
-        out_idx = jnp.where(live, rid * S + lengths, R_total * S)
+        # emitted token's position in its sequence = old length; output
+        # rows are rid % R_total (ring buffer, see admission)
+        row = rid % R_total
+        out_idx = jnp.where(live, row * S + lengths, R_total * S)
         finished = live & (new_lengths == 0)
-        fin_rid = jnp.where(finished, rid, R_total)
+        fin_rid = jnp.where(finished, row, R_total)
         new_last = jnp.where(live, tok, last)
         kv = PagedKVState(
-            tuple(kv_pages), tuple(k_scales), tuple(v_scales)
+            () if use_ring else tuple(kv_pages),  # pools are scan constants
+            tuple(k_scales), tuple(v_scales),
         )
-        return (kv, new_lengths, new_last, key), (tok, out_idx, fin_rid, lengths + 1)
+        return (kv, tuple(rings_l), tuple(ring_scs_l), new_lengths,
+                new_last, key), (tok, out_idx, fin_rid, lengths + 1)
 
     def run_rounds(carry):
         (kv, lengths, last, key, out_tokens, final_lens) = carry
-        (kv, lengths, last, key), (toks, out_idx, fin_rid, fin_len) = jax.lax.scan(
-            round_fn, (kv, lengths, last, key), None, length=R
+        kv_in = kv._replace(kv_pages=()) if use_ring else kv
+        ((kv, rings, _, lengths, last, key),
+         (toks, out_idx, fin_rid, fin_len)) = jax.lax.scan(
+            round_fn, (kv_in, rings0, ring_scs0, lengths, last, key),
+            jnp.arange(R, dtype=jnp.int32),
         )
+        if use_ring:
+            from ..ops.ring_flush import ring_flush
+
+            interp = jax.default_backend() == "cpu"
+            if "flush" in ablate:   # profiling knockout only
+                kvp = pools_const
+            else:
+                kvp = tuple(
+                    ring_flush(
+                        pool, rg, ring_start, lengths, page_table,
+                        n_rounds=R, interpret=interp,
+                    )
+                    for pool, rg in zip(pools_const, rings)
+                )
+            kv = PagedKVState(kvp, kv.k_scales, kv.v_scales)
         out_tokens = (
             out_tokens.reshape(-1)
             .at[out_idx.reshape(-1)].set(toks.reshape(-1), mode="drop")
@@ -267,11 +528,14 @@ def _autonomous_burst(
     new_st = AutoState(
         kv, page_table, lengths, last_tokens, rid, allocated,
         queue_head, free_top, page_stack, out_tokens, final_lens, rng_key,
+        **oc,
     )
     status = jnp.stack([
         jnp.sum(lengths > 0).astype(jnp.int32),
         queue_head,
         free_top,
+        (jnp.zeros((), jnp.int32) if oc["retry_top"] is None
+         else oc["retry_top"]),
     ])
     return new_st, status
 
@@ -316,6 +580,8 @@ def _make_compact_slice(b_new: int):
             rid=st.rid[sel],
             allocated=st.allocated[sel],
             page_table=st.page_table[sel],
+            grown=None if st.grown is None else st.grown[sel],
+            adm_seq=None if st.adm_seq is None else st.adm_seq[sel],
         )
 
     return compact
@@ -430,12 +696,14 @@ class AutonomousEngine:
                         self.params, st, prompts_dev, plens_dev, n_real
                     )
             with phase("status_fetch"):
-                live, head, free = (int(x) for x in np.asarray(status))
-            done = live == 0 and head >= n
-            if not done and head >= n:
-                # drain: queue empty, nothing to admit — compact live
-                # slots to the front and drop to the smallest power-of-two
-                # executable that still holds them
+                live, head, free, retry = (
+                    int(x) for x in np.asarray(status))
+            pending = (head < n) or retry > 0
+            done = live == 0 and not pending
+            if not done and not pending:
+                # drain: queue + retry empty, nothing to admit — compact
+                # live slots to the front and drop to the smallest
+                # power-of-two executable that still holds them
                 while (
                     b_exec // 2 >= self.min_drain_slots
                     and live <= b_exec // 2
@@ -444,15 +712,15 @@ class AutonomousEngine:
                     st = _make_compact_slice(b_exec)(st)
             # Stall detection needs TWO consecutive no-progress chunks:
             # page freeing happens at the start of the NEXT burst, so a
-            # chunk can legitimately end with live==0, head<n and a
+            # chunk can legitimately end with live==0, work pending and a
             # too-small free count (all admitted slots finished inside the
             # chunk); the follow-up chunk frees their pages and proceeds.
-            if live == 0 and head < n:
-                if (head, free) == prev_status:
+            if live == 0 and pending:
+                if (head, free, retry) == prev_status:
                     raise RuntimeError(
                         "autonomous engine stalled: pool exhausted"
                     )
-                prev_status = (head, free)
+                prev_status = (head, free, retry)
             else:
                 prev_status = None
         with phase("drain_fetch"):
@@ -489,9 +757,17 @@ class StreamingSession:
     batching analogue of a production serving loop. EXTENSION beyond the
     reference (its engines consume a fixed queue and run to completion,
     src/inferencer.cpp:43-85); the device-side scheduler needs nothing
-    new — the prompt queue is a device buffer with spare capacity, so a
-    submission is one async host->device row upload and a bump of the
-    traced request count.
+    new — the prompt queue is a device RING buffer, so a submission is one
+    async host->device row upload and a bump of the traced request count.
+
+    CAPACITY RECYCLING + BACKPRESSURE CONTRACT: ``capacity`` bounds the
+    number of requests IN FLIGHT (submitted and not yet collected by
+    poll()), not the session's lifetime total — buffer rows are reused
+    once their previous occupant has been collected. ``free_capacity``
+    says how many submissions are currently accepted; ``submit`` raises
+    if the caller exceeds it (the caller is the queue of record — shed or
+    buffer upstream). Rows recycle in submission order, so one laggard
+    uncollected request eventually blocks submission: poll() regularly.
 
     Greedy determinism guarantee: a request's tokens depend only on its
     prompt and the weights, never on WHEN it was submitted or which slot
@@ -528,13 +804,45 @@ class StreamingSession:
         self._requests: List[Request] = []
         self._plens: List[int] = []
         self._collected: set = set()
+        # all requests with global id < _frontier are collected; rows
+        # [_frontier % cap, n_submitted % cap) are live and unreusable
+        self._frontier = 0
+
+    @property
+    def free_capacity(self) -> int:
+        """How many requests submit() currently accepts (rows whose
+        previous occupant has been collected)."""
+        return self.capacity - (self.n_submitted - self._frontier)
+
+    def _upload_run(self, rows, lens, row0):
+        """Upload one contiguous run of prompt rows + reset their
+        final_lens (a recycled row must not look finished)."""
+        k = rows.shape[0]
+        self.prompts_dev = jax.lax.dynamic_update_slice(
+            self.prompts_dev, jnp.asarray(rows), (row0, 0)
+        )
+        self.plens_dev = jax.lax.dynamic_update_slice(
+            self.plens_dev, jnp.asarray(lens), (row0,)
+        )
+        self.st = self.st._replace(
+            final_lens=jax.lax.dynamic_update_slice(
+                self.st.final_lens, jnp.zeros((k,), jnp.int32), (row0,)
+            )
+        )
 
     def submit(self, requests: List[Request]) -> None:
-        """Enqueue requests (one async upload; no recompilation)."""
+        """Enqueue requests (one or two async row uploads; no
+        recompilation for repeated batch sizes). Raises if the batch
+        exceeds free_capacity — the documented backpressure contract."""
         if not requests:
             return
         k = len(requests)
-        assert self.n_submitted + k <= self.capacity, "session capacity"
+        assert k <= self.free_capacity, (
+            f"backpressure: {k} submissions > free_capacity="
+            f"{self.free_capacity} (capacity {self.capacity}, "
+            f"{self.n_submitted - self._frontier} in flight/uncollected); "
+            "poll() to collect completions or shed load upstream"
+        )
         rows = np.zeros((k, self.s_pre), np.int32)
         lens = np.zeros((k,), np.int32)
         for i, req in enumerate(requests):
@@ -544,26 +852,29 @@ class StreamingSession:
             )
             rows[i, : len(req.tokens)] = req.tokens
             lens[i] = len(req.tokens)
-        self.prompts_dev = jax.lax.dynamic_update_slice(
-            self.prompts_dev, jnp.asarray(rows), (self.n_submitted, 0)
-        )
-        self.plens_dev = jax.lax.dynamic_update_slice(
-            self.plens_dev, jnp.asarray(lens), (self.n_submitted,)
-        )
+        row0 = self.n_submitted % self.capacity
+        first = min(k, self.capacity - row0)   # split a wrap-around
+        self._upload_run(rows[:first], lens[:first], row0)
+        if first < k:
+            self._upload_run(rows[first:], lens[first:], 0)
         self.n_submitted += k
         self._requests.extend(requests)
         self._plens.extend(int(x) for x in lens)
 
-    def step(self) -> dict:
-        """Dispatch one chunk of bursts; returns {live, queued, free}."""
+    def step(self, n_bursts: int | None = None) -> dict:
+        """Dispatch one chunk of bursts (default: the engine's
+        bursts_per_chunk; pass 1 for the finest completion-observation
+        granularity at the cost of one status fetch per burst); returns
+        {live, queued, free}."""
         eng = self.engine
-        for _ in range(eng.chunk):
+        for _ in range(n_bursts or eng.chunk):
             self.st, status = eng._burst(
                 eng.params, self.st, self.prompts_dev, self.plens_dev,
                 jnp.asarray(self.n_submitted, jnp.int32),
             )
-        live, head, free = (int(x) for x in np.asarray(status))
-        return {"live": live, "queued": self.n_submitted - head,
+        live, head, free, retry = (int(x) for x in np.asarray(status))
+        return {"live": live,
+                "queued": self.n_submitted - head + retry,
                 "free_groups": free}
 
     def poll(self) -> List[Request]:
@@ -577,20 +888,24 @@ class StreamingSession:
         distinct completion count recompiled (measured 17s vs 4s on the
         serving bench)."""
         fl = np.asarray(self.st.final_lens)
-        new = [i for i in range(self.n_submitted)
-               if fl[i] > 0 and i not in self._collected]
+        new = [g for g in range(self._frontier, self.n_submitted)
+               if g not in self._collected and fl[g % self.capacity] > 0]
         if not new:
             return []
         bucket = min(self.capacity, 1 << (len(new) - 1).bit_length())
         idx = np.zeros(bucket, np.int32)
-        idx[: len(new)] = new
+        idx[: len(new)] = [g % self.capacity for g in new]
         rows = np.asarray(self.st.out_tokens[jnp.asarray(idx)])
         out = []
-        for j, i in enumerate(new):
-            req = self._requests[i]
-            req.tokens.extend(rows[j, self._plens[i]: int(fl[i])].tolist())
-            self._collected.add(i)
+        for j, g in enumerate(new):
+            req = self._requests[g]
+            row_fl = int(fl[g % self.capacity])
+            req.tokens.extend(rows[j, self._plens[g]: row_fl].tolist())
+            self._collected.add(g)
             out.append(req)
+        while self._frontier in self._collected:
+            self._collected.discard(self._frontier)
+            self._frontier += 1
         return out
 
     def close(self) -> List[Request]:
@@ -598,8 +913,10 @@ class StreamingSession:
         the remaining completions (like poll)."""
         eng = self.engine
         prev = None
+        out = []
         while True:
             s = self.step()
+            out.extend(self.poll())
             if s["live"] == 0 and s["queued"] == 0:
                 break
             if s["live"] == 0 and s["queued"] > 0:
@@ -610,4 +927,5 @@ class StreamingSession:
                 prev = key
             else:
                 prev = None
-        return self.poll()
+        out.extend(self.poll())
+        return out

@@ -325,3 +325,57 @@ def test_streaming_session_rejects_overlong_prompt(params):
         sess.submit([Request(0, list(range(1, 42)))])
     sess.submit([Request(0, list(range(1, 41)))])  # exactly max: fine
     sess.close()
+
+
+def test_streaming_session_capacity_recycling(params, rng):
+    """capacity bounds IN-FLIGHT requests, not session lifetime: rows of
+    collected requests are recycled (ring buffer), and the backpressure
+    contract rejects submissions past free_capacity."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    n = 30
+    cap = 8
+    cfg = EngineConfig(n_slots=4, page_size=16, n_pages=16,
+                       n_forward_rounds=4, max_prefill_batch=4)
+    reqs = [Request(i, rng.integers(0, 255, int(rng.integers(1, 24))).tolist())
+            for i in range(n)]
+
+    # oracle: one-shot run of the same prompts
+    store = ItemStorage()
+    for r in reqs:
+        store.add_new_item(Request(r.id, list(r.tokens)))
+    AutonomousEngine(params, MODEL, cfg, attention_impl="grouped").run(store)
+
+    eng = AutonomousEngine(params, MODEL, cfg, attention_impl="grouped",
+                           bursts_per_chunk=2)
+    sess = StreamingSession(eng, capacity=cap, max_prompt_len=32)
+    submitted = 0
+    done = {}
+    guard = 0
+    while len(done) < n:
+        k = min(sess.free_capacity, n - submitted)
+        if k:
+            sess.submit([Request(r.id, list(r.tokens))
+                         for r in reqs[submitted : submitted + k]])
+            submitted += k
+        sess.step()
+        for r in sess.poll():
+            done[r.id] = r.tokens
+        guard += 1
+        assert guard < 500, "recycling session made no progress"
+    assert sess.n_submitted == n > cap  # rows actually recycled
+    for i in range(n):
+        assert done[i] == store.finished[i].tokens, f"request {i} diverged"
+
+
+def test_streaming_session_backpressure_raises(params):
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    cfg = EngineConfig(n_slots=4, page_size=16, n_pages=16,
+                       n_forward_rounds=4, max_prefill_batch=4)
+    eng = AutonomousEngine(params, MODEL, cfg)
+    sess = StreamingSession(eng, capacity=4, max_prompt_len=16)
+    sess.submit([Request(i, [1, 2, 3]) for i in range(4)])
+    assert sess.free_capacity == 0
+    with pytest.raises(AssertionError, match="backpressure"):
+        sess.submit([Request(9, [1])])

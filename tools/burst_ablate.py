@@ -49,6 +49,10 @@ ABLATIONS = [
     # scales: skip the per-page scale scatters only (stale-scale quantize
     # is numerically wrong but schedule/shape-identical — timing only)
     "scales",
+    # flush: skip the once-per-burst ring->pages merge (ring mode only)
+    "flush",
+    # ringdus: ring updates at STATIC column 0 (in-place-donation probe)
+    "ringdus",
     # combined knockouts resolve interactions the singles can't
     "attend,qkv", "attend,embed,qkv,logits",
 ]
@@ -66,15 +70,29 @@ def main():
     ap.add_argument("--rounds", type=int, default=16)
     ap.add_argument("--n-small", type=int, default=2)
     ap.add_argument("--n-big", type=int, default=5)
+    ap.add_argument("--no-ring", action="store_true",
+                    help="per-round fused write-backs instead of the ring")
+    ap.add_argument("--model", default="ref", choices=["ref", "gpt2s"])
     args = ap.parse_args()
 
     B, NP, S, D = args.slots, args.pages, args.seq, args.emb
-    model = ModelConfig(n_vocab=1024, emb_dim=D, n_seq=S,
-                        eof_token_id=1023, dtype="bfloat16")
+    if args.model == "gpt2s":
+        model = ModelConfig(
+            n_vocab=1024, emb_dim=768, n_seq=S, n_layers=12, n_heads=12,
+            ffn_dim=3072, use_output_proj=True, use_layernorm=True,
+            eof_token_id=1023, dtype="bfloat16",
+        )
+    else:
+        model = ModelConfig(n_vocab=1024, emb_dim=D, n_seq=S,
+                            eof_token_id=1023, dtype="bfloat16")
     cfg = EngineConfig(n_slots=B, n_pages=NP, page_size=32,
-                       kv_dtype="int8", n_forward_rounds=args.rounds)
+                       kv_dtype="int8", n_forward_rounds=args.rounds,
+                       decode_ring=not args.no_ring)
     rng = np.random.default_rng(0)
-    params = fuse_qkv_params(init_params(jax.random.PRNGKey(0), model))
+    if args.model == "gpt2s":
+        params = fuse_qkv_params(init_params(jax.random.PRNGKey(0), model))
+    else:
+        params = fuse_qkv_params(init_params(jax.random.PRNGKey(0), model))
 
     max_bursts = (S - 1 - args.ctx_len) // args.rounds
     assert args.n_big <= max_bursts, "bursts overrun n_seq; lower --n-big"

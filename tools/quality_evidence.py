@@ -3,75 +3,57 @@
 The reference framework has no tokenizer, dataset, or pretrained weights
 (synthetic random weights throughout, tests/inferencer_test.cpp:21-36), and
 this environment has zero network egress, so REAL GPT-2 checkpoint weights
-are unavailable. Per the stated fallback, this tool produces two pieces of
-evidence and says so honestly in the artifact:
+are unavailable. Per the stated fallback (VERDICT r2 item 6), this tool
+produces the strongest evidence the environment allows and says so honestly
+in the artifact:
 
-  (a) gpt2-import: a GPT-2-small-geometry model (12L/768D/12H/3072F)
-      initialized with HuggingFace's own init (transformers GPT2LMHeadModel,
-      normal(0.02) + depth-scaled residual projections) and loaded through
-      the real ``import_gpt2_state_dict`` path — this exercises the true HF
-      state-dict layout (Conv1D orientation, fused c_attn split) and a
-      realistic *init* spectrum, but NOT trained-weight outliers.
-  (b) trained-small: a 4L/256D/8H transformer actually TRAINED (optax adam,
-      teacher-forced CE) on a structured synthetic Markov language until the
-      loss is well below the unigram entropy floor. Training produces the
-      non-uniform weight/activation spectra (outliers) that stress int8 KV
-      quantization in a way random init cannot.
+  (a) trained-8l512d: an 8L/512D/8H/2048F transformer TRAINED (optax adam,
+      teacher-forced CE) on a structured synthetic Markov language to
+      PPL < 15, evaluated on >= 100k predicted tokens through the actual
+      paged-KV machinery: full-precision vs int8 KV (north-star bound,
+      ABSOLUTE dPPL <= 0.1), packed-int4 KV, and int8-weight + int8-KV
+      combined. Training produces the non-uniform weight/activation spectra
+      (outliers) that stress quantization in a way random init cannot.
+  (b) gpt2-import-smoke: GPT-2-small geometry with HuggingFace's own init
+      loaded through the real ``import_gpt2_state_dict`` path. This is a
+      LAYOUT/IMPORT smoke test (Conv1D orientation, fused c_attn split,
+      realistic init spectra) — an untrained model sits near the uniform-
+      distribution PPL ceiling where any dPPL bound is vacuous, so its
+      numbers are reported for transparency and carry NO pass criterion
+      (r2 framing fix).
 
-Both then run ``delta_ppl_int8_kv``: teacher-forced perplexity through the
-actual paged KV machinery, full-precision vs int8 pages, same sequences.
+Training runs on the TPU when reachable (the 8L fwd+bwd step is ~1.3
+TFLOP — minutes on CPU, milliseconds on a v5e); the paged-KV perplexity
+evals run on host CPU (the per-token scan is dispatch-bound through the
+axon tunnel and numerically exact on CPU).
 
-Usage:  python tools/quality_evidence.py [--out QUALITY_r02.json]
-Writes the JSON artifact with both results; exits nonzero if either
-delta_ppl exceeds the 0.1 bound.
+Usage:  env PYTHONPATH=.:/root/.axon_site python tools/quality_evidence.py \
+            [--out QUALITY_r03.json] [--steps 1500] [--cpu-train]
+Exits nonzero if the trained model misses PPL < 15 or int8 KV misses the
+absolute 0.1 bound.
 """
 
 from __future__ import annotations
 
 import argparse
-import functools
 import json
-import os
 import sys
-
-# Runs on host CPU: the 12-layer teacher-forced scan exceeds the axon
-# tunnel's remote-compile payload limit (HTTP 413), and quality numbers
-# don't need the chip. Must be set before jax backend init; the axon
-# sitecustomize force-sets jax_platforms, so update the config too.
-os.environ["JAX_PLATFORMS"] = "cpu"
+import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-jax.config.update("jax_platforms", "cpu")
-
 sys.path.insert(0, ".")
-
-from min_llm_inference_tpu.config import EngineConfig, ModelConfig
-from min_llm_inference_tpu.models.model import (
-    causal_masked_attention,
-    layer_attn_input,
-    layer_post,
-)
-from min_llm_inference_tpu.models.params import init_params
-from min_llm_inference_tpu.ops.reference import (
-    feed_forward,
-    tied_logits,
-    token_pos_embed,
-)
-from min_llm_inference_tpu.utils.checkpoint import import_gpt2_state_dict
-from min_llm_inference_tpu.utils.quality import delta_ppl_int8_kv
 
 
 # ---------------------------------------------------------------- data
 
-def markov_corpus(rng: np.random.Generator, n_vocab: int, branching: int = 12):
+def markov_corpus(rng: np.random.Generator, n_vocab: int,
+                  branching: int = 16):
     """A sparse random Markov language: each token has `branching` likely
     successors with Zipfian transition mass. Gives sequences real local
     structure (so a trained model beats the unigram floor by a wide margin)
-    while staying fully synthetic."""
+    while staying fully synthetic. Entropy floor ~ ln PPL ~ 2.3 nats at
+    branching 16 / zipf 1.2."""
     succ = np.empty((n_vocab, branching), np.int64)
     probs = np.empty((n_vocab, branching), np.float64)
     base = 1.0 / np.arange(1, branching + 1) ** 1.2
@@ -83,14 +65,25 @@ def markov_corpus(rng: np.random.Generator, n_vocab: int, branching: int = 12):
 
 
 def sample_sequences(rng, succ, probs, n_seq, length):
+    """Vectorized ancestral sampling over the Markov chain (the per-token
+    python loop was the round-2 bottleneck for large eval sets)."""
     n_vocab, branching = succ.shape
     out = np.empty((n_seq, length), np.int32)
-    for s in range(n_seq):
-        t = int(rng.integers(n_vocab))
-        for i in range(length):
-            out[s, i] = t
-            t = int(succ[t, rng.choice(branching, p=probs[t])])
+    t = rng.integers(n_vocab, size=n_seq)
+    cdf = np.cumsum(probs, axis=1)
+    for i in range(length):
+        out[:, i] = t
+        u = rng.random(n_seq)
+        choice = (u[:, None] > cdf[t]).sum(axis=1)
+        t = succ[t, np.minimum(choice, branching - 1)]
     return out
+
+
+def corpus_entropy_floor(probs) -> float:
+    """Exact per-token entropy of the transition distribution (the PPL a
+    perfect model of the chain would reach), assuming uniform state mass."""
+    h = -(probs * np.log(probs)).sum(axis=1).mean()
+    return float(np.exp(h))
 
 
 def zipf_sequences(rng, n_vocab, n_seq, length):
@@ -100,7 +93,6 @@ def zipf_sequences(rng, n_vocab, n_seq, length):
     p = 1.0 / ranks ** 1.1
     p /= p.sum()
     toks = rng.choice(n_vocab, size=(n_seq, length), p=p).astype(np.int32)
-    # splice in short repeats, as natural text has
     for s in range(n_seq):
         for _ in range(length // 16):
             i = int(rng.integers(0, length - 4))
@@ -111,9 +103,22 @@ def zipf_sequences(rng, n_vocab, n_seq, length):
 
 # ---------------------------------------------------------------- training
 
-def dense_causal_logits(params, cfg: ModelConfig, tokens):
+def dense_causal_logits(params, cfg, tokens):
     """Teacher-forced forward over full sequences with the SAME layer math
     the serving engines use (model.py helpers) — dense causal attention."""
+    import jax.numpy as jnp
+
+    from min_llm_inference_tpu.models.model import (
+        causal_masked_attention,
+        layer_attn_input,
+        layer_post,
+    )
+    from min_llm_inference_tpu.ops.reference import (
+        feed_forward,
+        tied_logits,
+        token_pos_embed,
+    )
+
     B, S = tokens.shape
     positions = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
     h = token_pos_embed(tokens, positions, params["wte"], params["wpe"])
@@ -128,20 +133,29 @@ def dense_causal_logits(params, cfg: ModelConfig, tokens):
     return tied_logits(h, params["wte"])
 
 
-def train_small_model(seed: int = 0, steps: int = 400, batch: int = 32):
+def train_model(seed: int, steps: int, batch: int, device):
+    import jax
+    import jax.numpy as jnp
     import optax
 
+    from min_llm_inference_tpu.config import ModelConfig
+    from min_llm_inference_tpu.models.params import init_params
+
     cfg = ModelConfig(
-        n_vocab=512, emb_dim=256, n_seq=128, n_layers=4, n_heads=8,
-        ffn_dim=1024, use_output_proj=True, use_layernorm=True,
-        eof_token_id=511, dtype="float32",
+        n_vocab=2048, emb_dim=512, n_seq=128, n_layers=8, n_heads=8,
+        ffn_dim=2048, use_output_proj=True, use_layernorm=True,
+        eof_token_id=2047, dtype="float32",
     )
     rng = np.random.default_rng(seed)
     succ, probs = markov_corpus(rng, cfg.n_vocab)
     params = init_params(jax.random.PRNGKey(seed), cfg, scale=0.02)
+    params = jax.device_put(params, device)
 
-    opt = optax.adam(3e-4)
-    opt_state = opt.init(params)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 6e-4, min(100, steps // 10), steps, 6e-5
+    )
+    opt = optax.adamw(sched, weight_decay=0.01)
+    opt_state = jax.device_put(opt.init(params), device)
 
     @jax.jit
     def step(params, opt_state, tokens):
@@ -153,21 +167,34 @@ def train_small_model(seed: int = 0, steps: int = 400, batch: int = 32):
             return nll.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
+        updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    first = last = None
+    t0 = time.perf_counter()
+    first = None
     for i in range(steps):
-        tokens = jnp.asarray(
+        tokens = jax.device_put(jnp.asarray(
             sample_sequences(rng, succ, probs, batch, cfg.n_seq)
-        )
+        ), device)
         params, opt_state, loss = step(params, opt_state, tokens)
         if i == 0:
             first = float(loss)
+        if i % max(1, steps // 10) == 0:
+            print(f"  step {i}: loss {float(loss):.4f}", flush=True)
     last = float(loss)
-    # held-out eval sequences from the same language
-    eval_tokens = sample_sequences(rng, succ, probs, 16, cfg.n_seq)
-    return cfg, params, eval_tokens, {"loss_first": first, "loss_last": last}
+    stats = {
+        "loss_first": first, "loss_last": last,
+        "train_steps": steps, "train_batch": batch,
+        "train_tokens": steps * batch * cfg.n_seq,
+        "train_seconds": round(time.perf_counter() - t0, 1),
+        "train_device": str(device),
+        "corpus_entropy_floor_ppl": corpus_entropy_floor(probs),
+    }
+    # held-out eval: >= 100k predicted tokens (B * (S-1))
+    n_eval = 840
+    eval_tokens = sample_sequences(rng, succ, probs, n_eval, cfg.n_seq)
+    params = jax.device_get(params)
+    return cfg, params, eval_tokens, stats
 
 
 # ---------------------------------------------------------------- gpt2 import
@@ -177,6 +204,9 @@ def gpt2_geometry_model(seed: int = 0):
     real import path. Vocab/positions cut to keep the harness bounded."""
     import torch
     from transformers import GPT2Config, GPT2LMHeadModel
+
+    from min_llm_inference_tpu.config import ModelConfig
+    from min_llm_inference_tpu.utils.checkpoint import import_gpt2_state_dict
 
     V, S = 4096, 256
     hf_cfg = GPT2Config(
@@ -199,44 +229,98 @@ def gpt2_geometry_model(seed: int = 0):
 
 # ---------------------------------------------------------------- main
 
-def run(out_path: str):
+def run(out_path: str, steps: int, cpu_train: bool):
+    import os
+
+    # Pick the training device BEFORE forcing evals onto CPU: the 8L
+    # fwd+bwd step is ~1.3 TFLOP — hours on CPU at round-3 scale.
+    import jax
+
+    train_dev = None
+    if not cpu_train:
+        try:
+            devs = jax.devices()
+            if devs and devs[0].platform not in ("cpu",):
+                train_dev = devs[0]
+        except Exception as e:  # noqa: BLE001
+            print(f"TPU unavailable ({e}); training on CPU")
+    cpu = jax.devices("cpu")[0]
+    if train_dev is None:
+        train_dev = cpu
+        if steps > 300:
+            print(f"CPU training: cutting steps {steps} -> 300")
+            steps = 300
+
+    from min_llm_inference_tpu.config import EngineConfig
+    from min_llm_inference_tpu.ops.quant import quantize_params
+    from min_llm_inference_tpu.utils.quality import (
+        delta_ppl_kv,
+        perplexity,
+    )
+
     results = {
-        "round": 2,
-        "bound": 0.1,
+        "round": 3,
+        "bound_int8_abs": 0.1,
         "provenance": (
             "No pretrained GPT-2 checkpoint is reachable (zero-egress "
-            "environment, none vendored on disk). Fallback per VERDICT r1 "
-            "item 5: (a) HF-init GPT-2-small geometry through the real "
-            "import_gpt2_state_dict path; (b) a small transformer trained "
-            "on a structured synthetic Markov language (trained-weight "
-            "spectra). This is weaker than real-weight evidence and is "
-            "labeled as such."
+            "environment, none vendored on disk). Evidence: (a) an "
+            "8L/512D/8H transformer trained on a structured synthetic "
+            "Markov language to sub-15 PPL, evaluated teacher-forced "
+            "through the actual paged-KV machinery on >=100k predicted "
+            "tokens; (b) an HF-init GPT-2-small-geometry IMPORT SMOKE "
+            "(layout only, no quality claim — an untrained model's PPL "
+            "sits near the uniform ceiling where dPPL bounds are vacuous). "
+            "This is weaker than real-weight evidence and is labeled as "
+            "such."
         ),
     }
 
-    print("== trained-small: training 4L/256D on Markov language ==")
-    cfg_s, params_s, eval_toks, train_stats = train_small_model()
-    eng_s = EngineConfig(
-        n_slots=eval_toks.shape[0], n_forward_rounds=1, page_size=16,
-        n_pages=eval_toks.shape[0] * (cfg_s.n_seq // 16),
-        init_num_pages=1, max_prefill_batch=eval_toks.shape[0],
+    print(f"== trained-8l512d: {steps} steps on {train_dev} ==", flush=True)
+    cfg_s, params_s, eval_toks, train_stats = train_model(
+        0, steps, 64, train_dev
     )
-    lengths = np.full(eval_toks.shape[0], eval_toks.shape[1], np.int32)
-    r_small = delta_ppl_int8_kv(params_s, cfg_s, eng_s, eval_toks, lengths)
-    r_small.update(train_stats)
-    results["trained_small"] = r_small
-    print(json.dumps(r_small, indent=2))
 
-    # Packed-int4 KV on the same trained model — reported honestly as its
-    # own (looser) number; the 0.1 north-star bound applies to int8 only.
-    from min_llm_inference_tpu.utils.quality import delta_ppl_kv
+    # evals on host CPU (numerically exact; dispatch-bound on the tunnel)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+    params_s = jax.device_put(params_s, cpu)
 
-    r_small4 = delta_ppl_kv(params_s, cfg_s, eng_s, eval_toks, lengths,
-                            "int4")
-    results["trained_small_int4"] = r_small4
-    print("int4:", json.dumps(r_small4, indent=2))
+    B_eval = eval_toks.shape[0]
+    eng_s = EngineConfig(
+        n_slots=B_eval, n_forward_rounds=1, page_size=16,
+        n_pages=B_eval * (cfg_s.n_seq // 16),
+        init_num_pages=1, max_prefill_batch=B_eval,
+    )
+    lengths = np.full(B_eval, eval_toks.shape[1], np.int32)
+    n_pred = int((lengths - 1).sum())
+    print(f"  eval: {n_pred} predicted tokens", flush=True)
 
-    print("== gpt2-import: HF-init 12L/768D through import path ==")
+    r_int8 = delta_ppl_kv(params_s, cfg_s, eng_s, eval_toks, lengths, "int8")
+    r_int4 = delta_ppl_kv(params_s, cfg_s, eng_s, eval_toks, lengths, "int4")
+    # combined: int8 weight-only + int8 KV, vs the fp reference above
+    import dataclasses
+
+    params_wq = quantize_params(params_s, "int8")
+    ppl_wq = perplexity(
+        params_wq, cfg_s,
+        dataclasses.replace(eng_s, kv_dtype="int8"), eval_toks, lengths,
+    )
+    trained = {
+        "model": "8L/512D/8H/2048F vocab=2048 seq=128 (trained)",
+        "eval_predicted_tokens": n_pred,
+        "ppl_ref": r_int8["ppl_ref"],
+        "int8_kv": {"ppl": r_int8["ppl_q"], "delta_ppl": r_int8["delta_ppl"]},
+        "int4_kv": {"ppl": r_int4["ppl_q"], "delta_ppl": r_int4["delta_ppl"]},
+        "int8_weights_plus_int8_kv": {
+            "ppl": ppl_wq, "delta_ppl": ppl_wq - r_int8["ppl_ref"],
+        },
+        **train_stats,
+    }
+    results["trained_8l512d"] = trained
+    print(json.dumps(trained, indent=2), flush=True)
+
+    print("== gpt2-import-smoke: HF-init 12L/768D through import path ==",
+          flush=True)
     cfg_g, params_g = gpt2_geometry_model()
     B = 8
     rng = np.random.default_rng(1)
@@ -247,19 +331,31 @@ def run(out_path: str):
         max_prefill_batch=B,
     )
     lengths_g = np.full(B, cfg_g.n_seq, np.int32)
-    r_gpt2 = delta_ppl_int8_kv(params_g, cfg_g, eng_g, toks_g, lengths_g)
-    results["gpt2_import"] = r_gpt2
-    print(json.dumps(r_gpt2, indent=2))
+    r_gpt2 = delta_ppl_kv(params_g, cfg_g, eng_g, toks_g, lengths_g, "int8")
+    results["gpt2_import_smoke"] = {
+        "claim": (
+            "IMPORT/LAYOUT SMOKE ONLY: exercises import_gpt2_state_dict "
+            "(HF Conv1D orientation, fused c_attn split) end-to-end "
+            "through the paged pipeline. The model is untrained; its PPL "
+            "is near the uniform ceiling and the delta carries no quality "
+            "claim."
+        ),
+        "finite": bool(np.isfinite(r_gpt2["ppl_q"])),
+        **r_gpt2,
+    }
+    print(json.dumps(results["gpt2_import_smoke"], indent=2), flush=True)
 
-    # Pass criteria: the trained model (PPL ~12, the scale the 0.1 absolute
-    # bound was written for) must hold the absolute bound. The UNTRAINED
-    # gpt2-geometry model sits at PPL ~4000 — near the uniform ceiling,
-    # where an absolute 0.1 is ~2.5e-5 relative and meaningless — so it is
-    # held to a relative bound instead (0.1 / 12 ≈ 1e-2, tightened to 1e-3).
-    rel_gpt2 = abs(r_gpt2["delta_ppl"]) / r_gpt2["ppl_ref"]
-    results["gpt2_import"]["rel_delta_ppl"] = rel_gpt2
-    ok = abs(r_small["delta_ppl"]) <= results["bound"] and rel_gpt2 <= 1e-3
+    ok = (
+        trained["ppl_ref"] < 15.0
+        and abs(trained["int8_kv"]["delta_ppl"]) <= 0.1
+        and bool(np.isfinite(r_gpt2["ppl_q"]))
+    )
     results["pass"] = bool(ok)
+    results["pass_criteria"] = (
+        "trained ppl_ref < 15; |int8_kv delta_ppl| <= 0.1 (ABSOLUTE, the "
+        "north-star bound); gpt2 import smoke finite. int4 and "
+        "weight+KV numbers are reported without a bound."
+    )
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2)
     print(f"wrote {out_path}; pass={ok}")
@@ -268,6 +364,8 @@ def run(out_path: str):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="QUALITY_r02.json")
+    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--cpu-train", action="store_true")
     args = ap.parse_args()
-    sys.exit(run(args.out))
+    sys.exit(run(args.out, args.steps, args.cpu_train))
