@@ -92,6 +92,17 @@ class EngineConfig:
     # write-back every round. Token-exact vs the fused-write path; False
     # keeps the per-round fused write (A/B + fallback).
     decode_ring: bool = True
+    # Ring-mode attention formulation: False (default) = the per-slot
+    # grouped kernel's partial mode; True = the flat cross-slot kernel
+    # (ops/paged_attention_flat.py). The flat kernel was built to attack
+    # the per-slot Mosaic op-issue cost (~0.56us/slot/layer, 5.96 of 7.89
+    # ms/round attend on the 12-layer bench model) but MEASURED WORSE end
+    # to end (ref 442k -> 308k, gpt2s 78k -> 64k tok/s): its constant op
+    # count costs ~3 extra full-width elementwise passes over [G*bk, D]
+    # f32 tensors per grid step (broadcast-q materialization, probs
+    # expansion), which swamp the issue savings. Kept for A/B and for
+    # shapes where bk is small.
+    attn_flat: bool = False
     # AutonomousEngine overcommit: admit with HALF a slot's pages (a
     # half-group of pages_per_slot/2 contiguous pages), grow on demand with
     # an n_forward_rounds lookahead, preempt the YOUNGEST live slots when

@@ -637,20 +637,37 @@ def make_ring_round_callbacks(
 
     def attend(li, q, lens):
         # page partial from the kernel (pool read-only, positions < rs)
-        o_p, m_p, l_p = paged_decode_attention_grouped(
-            q, kv_pages[li], lens, page_table,
-            k_scales[li], v_scales[li],
-            ring_start=ring_start,
-            n_heads=heads, contiguous_pages=contiguous_pages,
-            group_size=engine_cfg.attn_group_size,
-            pages_per_dma=(
-                engine_cfg.pages_per_dma if contiguous_pages else None
-            ),
-            max_run_pages=(page_table.shape[1] // 2
-                           if engine_cfg.overcommit else None),
-            packed_int4=engine_cfg.kv_packed,
-            interpret=interpret,
-        )
+        max_run = (page_table.shape[1] // 2
+                   if engine_cfg.overcommit else None)
+        if engine_cfg.attn_flat and contiguous_pages:
+            from ..ops.paged_attention_flat import (
+                paged_decode_attention_flat,
+            )
+
+            o_p, m_p, l_p = paged_decode_attention_flat(
+                q, kv_pages[li], lens, page_table,
+                k_scales[li], v_scales[li], ring_start,
+                n_heads=heads,
+                group_size=engine_cfg.attn_group_size,
+                pages_per_dma=engine_cfg.pages_per_dma,
+                max_run_pages=max_run,
+                packed_int4=engine_cfg.kv_packed,
+                interpret=interpret,
+            )
+        else:
+            o_p, m_p, l_p = paged_decode_attention_grouped(
+                q, kv_pages[li], lens, page_table,
+                k_scales[li], v_scales[li],
+                ring_start=ring_start,
+                n_heads=heads, contiguous_pages=contiguous_pages,
+                group_size=engine_cfg.attn_group_size,
+                pages_per_dma=(
+                    engine_cfg.pages_per_dma if contiguous_pages else None
+                ),
+                max_run_pages=max_run,
+                packed_int4=engine_cfg.kv_packed,
+                interpret=interpret,
+            )
         return merge_ring_partial(
             o_p, m_p, l_p, q, rings[li],
             ring_scs[li] if quantized else None,

@@ -13,12 +13,15 @@ import jax.numpy as jnp
 import pytest
 
 from min_llm_inference_tpu.models.paged import merge_ring_partial
+from min_llm_inference_tpu.ops.paged_attention_flat import (
+    paged_decode_attention_flat,
+)
 from min_llm_inference_tpu.ops.paged_attention_grouped import (
     paged_decode_attention_grouped,
 )
 
 
-def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv):
+def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv, impl="grouped"):
     """Build pool+ring from one underlying token stream per slot.
 
     kv: 'int8' | 'int4' | 'bf16'. Returns kernel args and the oracle's
@@ -99,14 +102,25 @@ def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv):
             pool[pg, 0, pos % P] = 99 if quant else 1e30
             pool[pg, 1, pos % P] = -99 if quant else -1e30
 
-    o_p, m_p, l_p = paged_decode_attention_grouped(
-        jnp.asarray(q), jnp.asarray(pool), jnp.asarray(lengths),
-        jnp.asarray(perm),
-        jnp.asarray(k_scales) if quant else None,
-        jnp.asarray(v_scales) if quant else None,
-        ring_start=jnp.asarray(rs),
-        n_heads=H, packed_int4=packed, interpret=True,
-    )
+    if impl == "flat":
+        # pages_per_dma=1: per-page copies work on a fragmented table
+        o_p, m_p, l_p = paged_decode_attention_flat(
+            jnp.asarray(q), jnp.asarray(pool), jnp.asarray(lengths),
+            jnp.asarray(perm),
+            jnp.asarray(k_scales) if quant else None,
+            jnp.asarray(v_scales) if quant else None,
+            jnp.asarray(rs),
+            n_heads=H, pages_per_dma=1, packed_int4=packed, interpret=True,
+        )
+    else:
+        o_p, m_p, l_p = paged_decode_attention_grouped(
+            jnp.asarray(q), jnp.asarray(pool), jnp.asarray(lengths),
+            jnp.asarray(perm),
+            jnp.asarray(k_scales) if quant else None,
+            jnp.asarray(v_scales) if quant else None,
+            ring_start=jnp.asarray(rs),
+            n_heads=H, packed_int4=packed, interpret=True,
+        )
     out = merge_ring_partial(
         o_p, m_p, l_p, jnp.asarray(q), jnp.asarray(ring),
         jnp.asarray(ring_sc) if quant else None,
@@ -138,15 +152,16 @@ CASES = [
 ]
 
 
+@pytest.mark.parametrize("impl", ["grouped", "flat"])
 @pytest.mark.parametrize("H,kv", CASES)
-def test_ring_kernel_vs_oracle(H, kv):
+def test_ring_kernel_vs_oracle(H, kv, impl):
     rng = np.random.default_rng(7)
     B, D, P, W, NP, R = 8, 128, 8, 4, 64, 8
     # lengths exercise: dead slot, all-in-ring (rs=0), page boundary
     # straddles, full context
     lengths = [0, 1, 5, 9, 17, 26, 32, 20]
     nv = [0, 1, 4, 2, 3, 8, 6, 4]
-    got, want = _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv)
+    got, want = _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv, impl)
     tol = 0.04 if kv == "bf16" else 1e-4
     np.testing.assert_allclose(got, want, atol=tol, rtol=tol)
 
