@@ -13,7 +13,7 @@ Design:
     buffers. Each dp group is an independent continuous-batching domain
     with its own queue head — ZERO cross-dp communication inside the
     burst (the status fetch is the only all-groups view, and it is just a
-    [dp, 4] array the host reads).
+    [dp, 5] array the host reads).
   * tp shards attention heads + feature dims Megatron-style, reusing
     parallel/sharded.py's TpShardCtx seams (embed all-gather, wo/FFN/logits
     psum, per-page int8 scale pmax) — the local body IS
@@ -166,7 +166,7 @@ def _local_burst(model_cfg, local_cfg, attention_impl, max_new, ctx,
     if local_cfg.overcommit:
         new_st = new_st._replace(seq_ctr=new_st.seq_ctr.reshape(1),
                                  retry_top=new_st.retry_top.reshape(1))
-    return new_st, status.reshape(1, 4)
+    return new_st, status.reshape(1, 5)
 
 
 @functools.lru_cache(maxsize=None)
@@ -300,7 +300,7 @@ class ShardedAutonomousEngine:
                         self.params, st, prompts_dev, plens_dev, n_real
                     )
             with phase("status_fetch"):
-                stat = np.asarray(status)  # [dp, 4] live/head/free/retry
+                stat = np.asarray(status)  # [dp, 5] live/head/free/retry/fin
             live_total = int(stat[:, 0].sum())
             heads = tuple(int(x) for x in stat[:, 1])
             frees = tuple(int(x) for x in stat[:, 2])

@@ -536,6 +536,9 @@ def _autonomous_burst(
         free_top,
         (jnp.zeros((), jnp.int32) if oc["retry_top"] is None
          else oc["retry_top"]),
+        # finished-request count: lets servers gate the (expensive,
+        # queue-serialized) poll fetch on actual completions
+        jnp.sum(final_lens > 0).astype(jnp.int32),
     ])
     return new_st, status
 
@@ -696,7 +699,7 @@ class AutonomousEngine:
                         self.params, st, prompts_dev, plens_dev, n_real
                     )
             with phase("status_fetch"):
-                live, head, free, retry = (
+                live, head, free, retry, _fin = (
                     int(x) for x in np.asarray(status))
             pending = (head < n) or retry > 0
             done = live == 0 and not pending
@@ -872,10 +875,12 @@ class StreamingSession:
                 eng.params, self.st, self.prompts_dev, self.plens_dev,
                 jnp.asarray(self.n_submitted, jnp.int32),
             )
-        live, head, free, retry = (int(x) for x in np.asarray(status))
+        live, head, free, retry, fin = (
+            int(x) for x in np.asarray(status))
         return {"live": live,
                 "queued": self.n_submitted - head + retry,
-                "free_groups": free}
+                "free_groups": free,
+                "finished_total": fin}
 
     def poll(self) -> List[Request]:
         """Fetch completions: returns finished Requests (tokens appended),

@@ -130,11 +130,15 @@ def main():
                 submit_t[r.id] = now
             sess.submit(reqs)
             made += len(reqs)
-        sess.step()
-        now = time.perf_counter()
-        for r in sess.poll():
-            done_t[r.id] = now
-            n_gen += len(r.tokens) - r.prompt_len
+        s = sess.step()
+        # poll ONLY when the device-side finished counter moved: the poll
+        # fetch serializes behind the whole device queue (CLAUDE.md), so
+        # an unconditional per-step poll dominates small-chunk configs
+        if s["finished_total"] > len(done_t):
+            now = time.perf_counter()
+            for r in sess.poll():
+                done_t[r.id] = now
+                n_gen += len(r.tokens) - r.prompt_len
     wall = time.perf_counter() - t0
 
     lat = np.array(sorted(done_t[i] - submit_t[i] for i in done_t))

@@ -89,10 +89,12 @@ def _mk(rng, B, D, P, W, NP, kv, contiguous):
 
 
 # On-TPU MXU matmuls take bf16 inputs even for f32 arrays, so kernel and
-# oracle each carry ~1e-3 relative noise (CLAUDE.md); exact parity is the
-# CPU interpret-mode suite's job. The smoke bound only needs to catch
+# oracle each carry relative noise (CLAUDE.md), and the softmax/partial-
+# merge renormalization amplifies it (measured up to ~1.3e-2 on the ring
+# and fused-write cases whose CPU interpret-mode parity is 1e-4). Exact
+# parity is the CPU suite's job; the smoke bound only needs to catch
 # wrong-page/wrong-mask/wrong-scale failures, which are O(1) errors.
-SMOKE_TOL = 1e-2
+SMOKE_TOL = 4e-2
 
 
 def check(name, got, want, tol=SMOKE_TOL):
