@@ -38,6 +38,7 @@ from ..runtime.item_storage import (
     ProcessingStorage,
     Request,
     is_done,
+    process_decoder_result,
 )
 from ..runtime.paged_scheduler import (
     PagePool,
@@ -46,7 +47,6 @@ from ..runtime.paged_scheduler import (
     insert_new_items_paged,
 )
 from ..utils.profiling import phase
-from ..constants import EMPTY_ROW_TOKEN_ID
 from .sharded import (
     init_sharded_state,
     make_mesh,
@@ -125,41 +125,20 @@ class ShardedPagedEngine:
         return new_global
 
     def _process_results(self, results, item_storage, processings, skip_slots):
-        """Pipelined results walk per group (see PagedEngine._process_results
-        for the skip semantics)."""
-        counter = get_global_throughput_counter()
-        n_rounds = results.shape[1]
-        finished_per_group: List[List[int]] = [[] for _ in range(self.dp)]
-        total = 0
-        eof = self.model_cfg.eof_token_id
-        n_seq = self.model_cfg.n_seq
+        """Pipelined results walk per dp group: the shared walker over each
+        group's LOCAL slot space (skip semantics documented on
+        item_storage.process_decoder_result)."""
+        finished_per_group: List[List[int]] = []
         for g in range(self.dp):
-            processing = processings[g]
-            for s_loc in range(self.B_loc):
-                slot = g * self.B_loc + s_loc
-                if slot in skip_slots or not processing.contains(s_loc):
-                    continue
-                req = processing.get(s_loc)
-                finished = False
-                empty = False
-                for j in range(n_rounds):
-                    tok = int(results[slot, j])
-                    if tok == EMPTY_ROW_TOKEN_ID:
-                        empty = True
-                    else:
-                        if len(req.tokens) == req.prompt_len:
-                            counter.note_first_token(req.id)
-                        req.tokens.append(tok)
-                        total += 1
-                        if len(req.tokens) >= n_seq or tok == eof:
-                            finished = True
-                    if finished or empty:
-                        break
-                if finished or empty:
-                    finished_per_group[g].append(s_loc)
-                if finished:
-                    processing.move_to_finished(s_loc, item_storage)
-        counter.add_record_if_recording(total)
+            sl = self._group_slice(g)
+            local_skips = {
+                s - sl.start for s in skip_slots if sl.start <= s < sl.stop
+            }
+            finished_per_group.append(process_decoder_result(
+                results[sl], item_storage, processings[g],
+                self.model_cfg.n_seq, self.model_cfg.eof_token_id,
+                skip_slots=local_skips, pipelined=True,
+            ))
         return finished_per_group
 
     def _schedule(self, item_storage, processings, finished_per_group):

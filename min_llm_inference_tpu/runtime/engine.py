@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import EngineConfig, ModelConfig
-from ..constants import EMPTY_ROW_TOKEN_ID
 from ..metrics import get_global_throughput_counter
 from ..models.dense import init_dense_state, make_dense_fns
 from ..models.paged import init_paged_state, make_paged_fns
@@ -204,43 +203,13 @@ class PagedEngine(_EngineBase):
         return rows
 
     def _process_results(self, results, item_storage, processing, skip_slots):
-        """Pipelined results walk: skip slots admitted after this burst was
-        dispatched (their EMPTY rows are expected) and slots no longer in
-        processing (preempted while the burst was in flight — their tokens
-        are dropped and will be regenerated identically after re-admission).
-        Otherwise identical to process_decoder_result
-        (reference item_storage.cpp:97-139)."""
-        counter = get_global_throughput_counter()
-        n_slots, n_rounds = results.shape
-        finished_indices = []
-        total = 0
-        eof = self.model_cfg.eof_token_id
-        n_seq = self.model_cfg.n_seq
-        for slot in range(n_slots):
-            if slot in skip_slots or not processing.contains(slot):
-                continue
-            req = processing.get(slot)
-            finished = False
-            empty = False
-            for j in range(n_rounds):
-                tok = int(results[slot, j])
-                if tok == EMPTY_ROW_TOKEN_ID:
-                    empty = True  # defensive: should not occur for live slots
-                else:
-                    if len(req.tokens) == req.prompt_len:
-                        counter.note_first_token(req.id)
-                    req.tokens.append(tok)
-                    total += 1
-                    if len(req.tokens) >= n_seq or tok == eof:
-                        finished = True
-                if finished or empty:
-                    break
-            if finished or empty:
-                finished_indices.append(slot)
-            if finished:
-                processing.move_to_finished(slot, item_storage)
-        counter.add_record_if_recording(total)
-        return finished_indices
+        """Pipelined results walk — the shared walker with pipelined skip
+        semantics (see item_storage.process_decoder_result)."""
+        return process_decoder_result(
+            results, item_storage, processing,
+            self.model_cfg.n_seq, self.model_cfg.eof_token_id,
+            skip_slots=skip_slots, pipelined=True,
+        )
 
     def _schedule(self, item_storage, processing, finished):
         """Page realloc + admission; returns (new_slots, packed operand for

