@@ -115,6 +115,13 @@ def main():
                     help="contiguous-run DMA length in pages (grouped kernel)")
     ap.add_argument("--attn-group", type=int, default=None,
                     help="grouped-kernel slots per grid step (default auto)")
+    ap.add_argument("--subbursts", type=int, default=1,
+                    help="in-burst admission granularity: split each "
+                         "burst's rounds into this many admit+decode+flush "
+                         "bodies (one dispatch either way)")
+    ap.add_argument("--attn-dense", action="store_true",
+                    help="dense-view XLA page partial (full-grant group "
+                         "rows; the gpt2s op-floor fix)")
     ap.add_argument("--no-ring", action="store_true",
                     help="disable the per-burst decode ring (per-round "
                          "fused page write-backs instead)")
@@ -147,6 +154,8 @@ def main():
         pages_per_dma=args.pages_per_dma,
         attn_group_size=args.attn_group,
         decode_ring=not args.no_ring,
+        attn_dense=args.attn_dense,
+        subbursts=args.subbursts,
     )
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":

@@ -103,6 +103,24 @@ class EngineConfig:
     # expansion), which swamp the issue savings. Kept for A/B and for
     # shapes where bk is small.
     attn_flat: bool = False
+    # Ring-mode attention formulation, round-4 attack on the same per-slot
+    # op floor: the DENSE-VIEW XLA attend (ops/paged_attention_dense.py).
+    # Full-grant group rows make the pool reshape to [NG, W, 2, P, D] for
+    # free; the page partial becomes batched elementwise+reduce with a
+    # device-side page-count bucket — zero per-slot ops. Engages only on
+    # the contiguous-pages (autonomous) path; requires overcommit off
+    # (half-group grants break the dense view). Wins at 1-2 page contexts
+    # (gpt2s); the grouped kernel stays better at long contexts.
+    attn_dense: bool = False
+    # AutonomousEngine sub-bursts: run the admit->prefill->decode->flush
+    # body this many times INSIDE one jitted burst (n_forward_rounds must
+    # divide evenly). Finer admission granularity without extra host
+    # dispatches or status fetches: schedule_sim predicts slot-round
+    # efficiency 0.628 -> 0.721 at ref shapes for 16 rounds split 4x4
+    # (dead slots wait at most R/subbursts-1 rounds for a refill instead
+    # of R-1). Costs: the burst traces the body subbursts times (compile
+    # time), and the ring flush + admission block run per sub-burst.
+    subbursts: int = 1
     # AutonomousEngine overcommit: admit with HALF a slot's pages (a
     # half-group of pages_per_slot/2 contiguous pages), grow on demand with
     # an n_forward_rounds lookahead, preempt the YOUNGEST live slots when
@@ -165,3 +183,17 @@ class EngineConfig:
             assert (self.pages_per_dma or 1) <= half, (
                 "pages_per_dma must fit a half-group under overcommit"
             )
+            assert not self.attn_dense, (
+                "attn_dense needs full-grant contiguous group rows; "
+                "overcommit grants half-groups"
+            )
+        assert not (self.attn_dense and self.attn_flat), (
+            "attn_dense and attn_flat are mutually exclusive ring "
+            "formulations"
+        )
+        assert not self.attn_dense or self.decode_ring, (
+            "attn_dense implements the ring partial contract only"
+        )
+        assert self.subbursts >= 1 and (
+            self.n_forward_rounds % self.subbursts == 0
+        ), "subbursts must divide n_forward_rounds"

@@ -639,7 +639,23 @@ def make_ring_round_callbacks(
         # page partial from the kernel (pool read-only, positions < rs)
         max_run = (page_table.shape[1] // 2
                    if engine_cfg.overcommit else None)
-        if engine_cfg.attn_flat and contiguous_pages:
+        if engine_cfg.attn_dense and contiguous_pages:
+            # dense-view XLA partial over the full-grant group layout —
+            # zero per-slot ops (the gpt2s op-floor fix; see
+            # ops/paged_attention_dense.py for the measured trade)
+            from ..ops.paged_attention_dense import (
+                dense_paged_partial_bucketed,
+            )
+
+            o_p, m_p, l_p = dense_paged_partial_bucketed(
+                q, kv_pages[li],
+                k_scales[li] if quantized else None,
+                v_scales[li] if quantized else None,
+                ring_start, lens, page_table,
+                n_heads=heads, page_size=P,
+                packed_int4=engine_cfg.kv_packed,
+            )
+        elif engine_cfg.attn_flat and contiguous_pages:
             from ..ops.paged_attention_flat import (
                 paged_decode_attention_flat,
             )

@@ -114,7 +114,7 @@ def init_auto_state(model_cfg: ModelConfig, engine_cfg: EngineConfig, n_requests
     )
 
 
-def _overcommit_admission(engine_cfg: EngineConfig, max_new: int,
+def _overcommit_admission(engine_cfg: EngineConfig, max_new: int, R: int,
                           st: AutoState, prompts_all, plens_all, n_real):
     """Device-side paged scheduling with overcommit: free dead slots' halves
     -> grow slots about to cross the half boundary (n_forward_rounds
@@ -138,7 +138,6 @@ def _overcommit_admission(engine_cfg: EngineConfig, max_new: int,
     P = engine_cfg.page_size
     NP = engine_cfg.n_pages
     NH = NP // Hp
-    R = engine_cfg.n_forward_rounds
     R_total = prompts_all.shape[0]
     S_pre = prompts_all.shape[1]
     i32 = jnp.int32
@@ -282,6 +281,37 @@ def _autonomous_burst(
     plens_all,     # [R_cap] i32
     n_real,        # [] i32 — actual request count (R_cap is padding)
 ):
+    """One jitted burst: ``subbursts`` trace-unrolled repetitions of the
+    admit -> prefill -> decode-scan -> flush body. Splitting the rounds
+    across sub-bursts refills dead slots every R/subbursts rounds instead
+    of every R — the slot-round efficiency fix schedule_sim predicts
+    (0.628 -> 0.721 at ref shapes for 16 = 4x4) — while the host still
+    pays ONE dispatch and one status fetch per burst."""
+    n_sub = engine_cfg.subbursts
+    r_sub = engine_cfg.n_forward_rounds // n_sub
+    for _ in range(n_sub):
+        st, status = _sub_burst(
+            model_cfg, engine_cfg, attention_impl, max_new, sampling,
+            ablate, ctx, r_sub, params, st, prompts_all, plens_all, n_real,
+        )
+    return st, status
+
+
+def _sub_burst(
+    model_cfg: ModelConfig,
+    engine_cfg: EngineConfig,
+    attention_impl: str,
+    max_new: int,
+    sampling,
+    ablate,
+    ctx,
+    R,             # decode rounds THIS sub-burst (n_forward_rounds/subbursts)
+    params,
+    st: AutoState,
+    prompts_all,
+    plens_all,
+    n_real,
+):
     B = engine_cfg.n_slots
     W = st.page_table.shape[1]
     NP = engine_cfg.n_pages
@@ -295,7 +325,7 @@ def _autonomous_burst(
         # device retry stack (see _overcommit_admission)
         (page_table, lengths, last_tokens, rid, allocated, queue_head,
          free_top, page_stack, granted, plens, prompts, m, oc) = \
-            _overcommit_admission(engine_cfg, max_new, st, prompts_all,
+            _overcommit_admission(engine_cfg, max_new, R, st, prompts_all,
                                   plens_all, n_real)
     else:
         # full grant: one W-page group per slot, no growth/preemption
@@ -385,11 +415,10 @@ def _autonomous_burst(
 
     # ---- 4. decode rounds + on-device result accumulation ----
     # Per-round results are collected as DENSE scan outputs and scattered
-    # into the output buffers ONCE per burst: XLA scatter cost is dominated
-    # by a per-call fixed term, so one [R*B]-index scatter beats
-    # n_forward_rounds separate [B]-index scatters (same economics as the
-    # page-granular prefill write).
-    R = engine_cfg.n_forward_rounds
+    # into the output buffers ONCE per sub-burst: XLA scatter cost is
+    # dominated by a per-call fixed term, so one [R*B]-index scatter beats
+    # R separate [B]-index scatters (same economics as the page-granular
+    # prefill write).
 
     # Ring decode (grouped kernel only): each round's K/V rows go to a
     # dense per-layer ring (quantized, dynamic-update-slice at column r)
@@ -785,11 +814,18 @@ class StreamingSession:
     """
 
     def __init__(self, engine: "AutonomousEngine", capacity: int,
-                 max_prompt_len: int):
+                 max_prompt_len: int, observe_lag: int = 2):
+        from collections import deque
+
         S = engine.model_cfg.n_seq
         assert max_prompt_len + 1 <= S
         self.engine = engine
         self.capacity = capacity
+        # pipelined observation (dispatch/observe): completions become
+        # host-visible observe_lag bursts after they happen, instead of at
+        # chunk boundaries — the burst-granular serving path
+        self.observe_lag = max(1, observe_lag)
+        self._pending = deque()
         # s_pre is the padded BUFFER width (power of two, may exceed
         # max_prompt_len); the user-facing bound stays max_prompt_len —
         # submit() enforces it, since a prompt of length n_seq would make
@@ -882,18 +918,71 @@ class StreamingSession:
                 "free_groups": free,
                 "finished_total": fin}
 
-    def poll(self) -> List[Request]:
+    def dispatch(self) -> None:
+        """Pipelined serving: dispatch ONE burst and start the status +
+        final_lens device->host copies asynchronously. The copies execute
+        right after this burst on the device stream (later dispatches do
+        not delay them), and the host reads them observe_lag bursts later
+        (observe()) by which point they have landed — so completion
+        observation costs no queue-draining fetch and runs at BURST
+        granularity, not chunk granularity (the round-3 serving tail:
+        p90 == p99 == one chunk at provisioned capacity).
+
+        final_lens is snapshotted with a device-side copy: the state is
+        donated into the next burst, so reading the old state's buffer
+        after the next dispatch would be use-after-donate."""
+        eng = self.engine
+        self.st, status = eng._burst(
+            eng.params, self.st, self.prompts_dev, self.plens_dev,
+            jnp.asarray(self.n_submitted, jnp.int32),
+        )
+        fin = jnp.copy(self.st.final_lens)
+        status.copy_to_host_async()
+        fin.copy_to_host_async()
+        # n_submitted rides along: a row recycled AFTER this snapshot may
+        # still carry its previous occupant's final length in the snapshot,
+        # so polls against it must ignore later submissions
+        self._pending.append((status, fin, self.n_submitted))
+
+    def observe(self, block: bool = False) -> dict | None:
+        """Read the oldest in-flight burst's status if it is at least
+        observe_lag bursts old (or ``block``). Returns the step() dict plus
+        ``fin_lens`` (that burst's final_lens snapshot) or None."""
+        if not self._pending or (
+            len(self._pending) <= self.observe_lag and not block
+        ):
+            return None
+        status, fin, n_sub = self._pending.popleft()
+        live, head, free, retry, finc = (int(x) for x in np.asarray(status))
+        return {"live": live,
+                "queued": self.n_submitted - head + retry,
+                "free_groups": free,
+                "finished_total": finc,
+                "fin_lens": np.asarray(fin),
+                "n_submitted_at": n_sub}
+
+    def poll(self, fin_lens: np.ndarray | None = None,
+             n_submitted_at: int | None = None) -> List[Request]:
         """Fetch completions: returns finished Requests (tokens appended),
         each exactly once. One small fetch ([capacity] final_lens) decides
         which output rows to pull; only those rows move over the wire.
+        ``fin_lens``: an observe() snapshot to use instead of fetching the
+        latest state (the pipelined path; completions only grow, and a
+        finished row's contents are final until recycled, so gathering the
+        LATEST out_tokens rows for snapshot-finished requests is exact).
 
         The row gather is padded to a power-of-two bucket: a gather is a
         fresh executable per index-array SHAPE, and remote compiles are
         seconds each on this transport (CLAUDE.md) — unbucketed, every
         distinct completion count recompiled (measured 17s vs 4s on the
         serving bench)."""
-        fl = np.asarray(self.st.final_lens)
-        new = [g for g in range(self._frontier, self.n_submitted)
+        fl = (np.asarray(self.st.final_lens) if fin_lens is None
+              else fin_lens)
+        hi = (self.n_submitted if fin_lens is None
+              else min(self.n_submitted,
+                       n_submitted_at if n_submitted_at is not None
+                       else self.n_submitted))
+        new = [g for g in range(self._frontier, hi)
                if g not in self._collected and fl[g % self.capacity] > 0]
         if not new:
             return []
@@ -919,6 +1008,11 @@ class StreamingSession:
         eng = self.engine
         prev = None
         out = []
+        # collect anything already observed via the pipelined path, then
+        # fall back to blocking steps (fresh statuses) below
+        while self._pending:
+            s = self.observe(block=True)
+            out.extend(self.poll(s["fin_lens"], s["n_submitted_at"]))
         while True:
             s = self.step()
             out.extend(self.poll())

@@ -88,6 +88,78 @@ def test_autonomous_kernel_impls_match_jnp(params, rng, attention, kv_dtype):
         ), i
 
 
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8", "int4"])
+def test_autonomous_dense_attend_matches_jnp(params, rng, kv_dtype):
+    """attn_dense (the dense-view XLA page partial over full-grant group
+    rows, ops/paged_attention_dense.py) must be token-exact with the jnp
+    oracle through the same engine — including slot turnover, where group
+    assignments become non-identity."""
+    n = 14
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for dense in (False, True):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=2,
+            kv_dtype=kv_dtype, attn_dense=dense,
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        impl = "grouped" if dense else "jnp"
+        AutonomousEngine(params, MODEL, cfg, attention_impl=impl).run(s)
+        stores[dense] = s
+    assert len(stores[True].finished) == n
+    for i in range(n):
+        assert stores[False].finished[i].tokens == stores[True].finished[i].tokens, i
+
+
+def test_autonomous_subbursts_match_single(params, rng):
+    """subbursts > 1 (in-burst re-admission every R/subbursts rounds) must
+    be token-exact with the single-body burst: scheduling granularity may
+    change WHICH slot a request lands in, never its tokens (greedy
+    determinism)."""
+    n = 20
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for sub in (1, 4):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=4,
+            subbursts=sub,
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(params, MODEL, cfg, attention_impl="grouped").run(s)
+        stores[sub] = s
+    assert len(stores[4].finished) == n
+    for i in range(n):
+        assert stores[1].finished[i].tokens == stores[4].finished[i].tokens, i
+
+
+def test_autonomous_subbursts_overcommit_match(params, rng):
+    """Sub-bursts compose with overcommit: growth lookahead shrinks to the
+    sub-burst rounds and admission/preemption run per sub-burst."""
+    n = 16
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for sub in (1, 2):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=16, n_forward_rounds=4,
+            subbursts=sub, overcommit=True,
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(params, MODEL, cfg, attention_impl="grouped").run(s)
+        stores[sub] = s
+    assert len(stores[2].finished) == n
+    for i in range(n):
+        assert stores[1].finished[i].tokens == stores[2].finished[i].tokens, i
+
+
 def test_autonomous_turnover_small_max_new(params, rng):
     # max_new smaller than slot count: admission trickles over bursts
     n = 20
@@ -243,6 +315,52 @@ def test_streaming_session_matches_oneshot(params, rng):
     for r in sess.poll():
         finished[r.id] = r
     sess.submit([Request(i, list(prompts[i])) for i in range(12, n)])
+    for r in sess.close():
+        finished[r.id] = r
+    assert len(finished) == n
+    for i in range(n):
+        assert finished[i].tokens == oneshot.finished[i].tokens, i
+
+
+def test_streaming_pipelined_observe_matches_oneshot(params, rng):
+    """The pipelined serving path (dispatch + lag-delayed observe +
+    snapshot polls) collects every request exactly once with tokens
+    identical to the one-shot engine — including row recycling, where a
+    stale snapshot must not surface a recycled row's NEW occupant as
+    finished (the n_submitted_at bound)."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    n = 22
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+
+    oneshot = ItemStorage()
+    for i, p in enumerate(prompts):
+        oneshot.add_new_item(Request(i, list(p)))
+    AutonomousEngine(params, MODEL, cfg, attention_impl="grouped").run(oneshot)
+
+    eng = AutonomousEngine(params, MODEL, cfg, attention_impl="grouped",
+                           max_new_per_burst=4)
+    # capacity < n forces row recycling through the pipelined path
+    sess = StreamingSession(eng, capacity=12, max_prompt_len=32,
+                            observe_lag=2)
+    finished = {}
+    submitted = 0
+    for _ in range(400):
+        take = min(3, n - submitted, sess.free_capacity)
+        if take:
+            sess.submit([Request(i, list(prompts[i]))
+                         for i in range(submitted, submitted + take)])
+            submitted += take
+        sess.dispatch()
+        s = sess.observe()
+        if s is not None and s["finished_total"]:
+            for r in sess.poll(s["fin_lens"], s["n_submitted_at"]):
+                finished[r.id] = r
+        if submitted == n and len(finished) == n:
+            break
     for r in sess.close():
         finished[r.id] = r
     assert len(finished) == n

@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import pytest
 
 from min_llm_inference_tpu.models.paged import merge_ring_partial
+from min_llm_inference_tpu.ops.paged_attention_dense import (
+    dense_paged_partial_bucketed,
+)
 from min_llm_inference_tpu.ops.paged_attention_flat import (
     paged_decode_attention_flat,
 )
@@ -39,8 +42,14 @@ def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv, impl="grouped"):
     vsrc = rng.standard_normal((B, S, D)).astype(np.float32)
     q = rng.standard_normal((B, D)).astype(np.float32)
 
-    # distinct random pages per slot (fragmented table)
-    perm = rng.permutation(NP)[: B * W].reshape(B, W).astype(np.int32)
+    if impl == "dense":
+        # the dense view requires full-grant group rows (group_id*W + i);
+        # groups are still assigned randomly (non-identity slot->group)
+        grps = rng.permutation(NP // W)[:B].astype(np.int32)
+        perm = grps[:, None] * W + np.arange(W, dtype=np.int32)[None, :]
+    else:
+        # distinct random pages per slot (fragmented table)
+        perm = rng.permutation(NP)[: B * W].reshape(B, W).astype(np.int32)
 
     quant = kv in ("int8", "int4")
     packed = kv == "int4"
@@ -102,7 +111,15 @@ def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv, impl="grouped"):
             pool[pg, 0, pos % P] = 99 if quant else 1e30
             pool[pg, 1, pos % P] = -99 if quant else -1e30
 
-    if impl == "flat":
+    if impl == "dense":
+        o_p, m_p, l_p = dense_paged_partial_bucketed(
+            jnp.asarray(q), jnp.asarray(pool),
+            jnp.asarray(k_scales) if quant else None,
+            jnp.asarray(v_scales) if quant else None,
+            jnp.asarray(rs), jnp.asarray(lengths), jnp.asarray(perm),
+            n_heads=H, page_size=P, packed_int4=packed,
+        )
+    elif impl == "flat":
         # pages_per_dma=1: per-page copies work on a fragmented table
         o_p, m_p, l_p = paged_decode_attention_flat(
             jnp.asarray(q), jnp.asarray(pool), jnp.asarray(lengths),
@@ -152,7 +169,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("impl", ["grouped", "flat"])
+@pytest.mark.parametrize("impl", ["grouped", "flat", "dense"])
 @pytest.mark.parametrize("H,kv", CASES)
 def test_ring_kernel_vs_oracle(H, kv, impl):
     rng = np.random.default_rng(7)

@@ -40,6 +40,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, ".")
 
+from min_llm_inference_tpu.ops.paged_attention_dense import (
+    dense_paged_partial,
+    dense_paged_partial_bucketed,
+)
 from min_llm_inference_tpu.ops.paged_attention_grouped import (
     paged_decode_attention_grouped,
 )
@@ -217,6 +221,17 @@ def main():
                          w_full=W, w_bucket=wb_, page_size=P)
             return (q + o.astype(q.dtype) * jnp.bfloat16(1e-6),)
 
+        def step_fold(q, wb_=wb):
+            o, m, l = dense_paged_partial(
+                q, pool, ks, vs, rs, lens, table, n_heads=H,
+                page_size=P, w_bucket=wb_)
+            return (q + o.astype(q.dtype) * jnp.bfloat16(1e-6),)
+
+        def step_bucketed(q):
+            o, m, l = dense_paged_partial_bucketed(
+                q, pool, ks, vs, rs, lens, table, n_heads=H, page_size=P)
+            return (q + o.astype(q.dtype) * jnp.bfloat16(1e-6),)
+
         row = {"page_ctx": L, "w_bucket": wb}
         jk = jax.jit(step_kernel)
         row["kernel_ms"] = chain_time(lambda s: jk(*s), (q0,)) * 1e3
@@ -224,6 +239,12 @@ def main():
         row["dense_er_ms"] = chain_time(lambda s: jd(*s), (q0,)) * 1e3
         jdd = jax.jit(functools.partial(step_dense, fn=dense_partial_dot))
         row["dense_dot_ms"] = chain_time(lambda s: jdd(*s), (q0,)) * 1e3
+        # production impl: [Wb, P] page axes FOLDED into one token axis
+        jfold = jax.jit(step_fold)
+        row["dense_fold_ms"] = chain_time(lambda s: jfold(*s), (q0,)) * 1e3
+        # production bucketed switch (device-side Wb pick)
+        jb = jax.jit(step_bucketed)
+        row["dense_bucketed_ms"] = chain_time(lambda s: jb(*s), (q0,)) * 1e3
         # full-W dense (no bucketing) isolates the bucket win
         jf = jax.jit(functools.partial(step_dense, fn=dense_partial, wb_=W))
         row["dense_er_fullW_ms"] = chain_time(lambda s: jf(*s), (q0,)) * 1e3
