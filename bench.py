@@ -115,13 +115,20 @@ def main():
                     help="contiguous-run DMA length in pages (grouped kernel)")
     ap.add_argument("--attn-group", type=int, default=None,
                     help="grouped-kernel slots per grid step (default auto)")
-    ap.add_argument("--subbursts", type=int, default=1,
+    ap.add_argument("--subbursts", type=int, default=2,
                     help="in-burst admission granularity: split each "
                          "burst's rounds into this many admit+decode+flush "
-                         "bodies (one dispatch either way)")
+                         "bodies (one dispatch either way). Same-session "
+                         "sweep at rounds=16: 1 -> 450.5k, 2 -> 529.4k, "
+                         "4 -> 502.9k, 8 -> 323.0k tok/s (8-round "
+                         "sub-bursts are the sweet spot)")
     ap.add_argument("--attn-dense", action="store_true",
                     help="dense-view XLA page partial (full-grant group "
                          "rows; the gpt2s op-floor fix)")
+    ap.add_argument("--overcommit", action="store_true",
+                    help="half-group grants + growth + youngest-first "
+                         "preemption (pair with a reduced --pages to "
+                         "measure the oversubscription trade)")
     ap.add_argument("--no-ring", action="store_true",
                     help="disable the per-burst decode ring (per-round "
                          "fused page write-backs instead)")
@@ -156,6 +163,7 @@ def main():
         decode_ring=not args.no_ring,
         attn_dense=args.attn_dense,
         subbursts=args.subbursts,
+        overcommit=args.overcommit,
     )
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":

@@ -118,6 +118,54 @@ def test_sharded_autonomous_kv_dtypes(params, rng, kv_dtype, attention):
         assert store.finished[i].tokens == oracle.finished[i].tokens, i
 
 
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_sharded_autonomous_overcommit_matches_single_chip(
+    params, rng, kv_dtype
+):
+    """Overcommit on the mesh under real pool pressure: each dp group's
+    pool holds only HALF the full demand (forcing half-grants, growth and
+    youngest-first preemption inside every group's shard), and outputs stay
+    token-exact with the single-chip overcommit engine AND the full-grant
+    oracle — preemption timing may differ per group, tokens may not
+    (greedy determinism, recompute-on-preempt)."""
+    n_devices, tp = 4, 2
+    dp = n_devices // tp
+    n = 14
+    W = 4  # pages per slot at page_size 8, n_seq 32
+    slots = 4 * dp
+    # pool: half the full grant demand per group -> constant pressure
+    cfg_oc = EngineConfig(
+        n_slots=slots, page_size=8, n_pages=slots * W // 2,
+        n_forward_rounds=2, kv_dtype=kv_dtype, max_prefill_batch=8,
+        overcommit=True,
+    )
+    cfg_full = EngineConfig(
+        n_slots=slots, page_size=8, n_pages=slots * W,
+        n_forward_rounds=2, kv_dtype=kv_dtype, max_prefill_batch=8,
+    )
+    base = make_store(rng, n)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+
+    oracle = ItemStorage()
+    for i, p in enumerate(prompts):
+        oracle.add_new_item(Request(i, list(p)))
+    run_single(params, cfg_full, oracle, "grouped")
+
+    single_oc = ItemStorage()
+    for i, p in enumerate(prompts):
+        single_oc.add_new_item(Request(i, list(p)))
+    run_single(params, cfg_oc, single_oc, "grouped")
+
+    store = ItemStorage()
+    for i, p in enumerate(prompts):
+        store.add_new_item(Request(i, list(p)))
+    run_sharded(params, cfg_oc, store, "grouped", n_devices, tp)
+    assert len(store.finished) == n
+    for i in range(n):
+        assert store.finished[i].tokens == oracle.finished[i].tokens, i
+        assert store.finished[i].tokens == single_oc.finished[i].tokens, i
+
+
 def test_sharded_autonomous_rejects_bad_shapes(params):
     cfg = EngineConfig(n_slots=6, page_size=8, n_pages=24)
     with pytest.raises(AssertionError):

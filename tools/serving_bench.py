@@ -59,6 +59,13 @@ def main():
     # at chunk boundaries, so serving trades a little dispatch efficiency
     # (more status-fetch RPCs) for admission/poll latency
     ap.add_argument("--bursts-per-chunk", type=int, default=6)
+    # pipelined mode (default): dispatch one burst at a time with async
+    # per-burst status/final_lens snapshots and observe completions
+    # observe-lag bursts later — burst-granular tails without queue-
+    # draining fetches (the r3 p90 == p99 == one-chunk signature)
+    ap.add_argument("--chunked", action="store_true",
+                    help="legacy chunk-quantum loop (step + fin-gated poll)")
+    ap.add_argument("--observe-lag", type=int, default=2)
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -104,6 +111,8 @@ def main():
     warm.submit(make_requests(wave))
     warm.step()
     warm.poll()
+    warm.dispatch()            # pipelined-path executables (final_lens copy)
+    warm.observe(block=True)
     warm.close()
     b = 1
     while True:
@@ -115,30 +124,66 @@ def main():
 
     # timed run: staggered arrivals
     sess = StreamingSession(eng, capacity=args.requests,
-                            max_prompt_len=args.max_prompt)
+                            max_prompt_len=args.max_prompt,
+                            observe_lag=args.observe_lag)
     wave = args.requests // args.waves
     submit_t = {}
     done_t = {}
     n_gen = 0
     t0 = time.perf_counter()
     made = 0
-    while made < args.requests or len(done_t) < args.requests:
-        if made < args.requests:
-            reqs = make_requests(min(wave, args.requests - made), id0=made)
-            now = time.perf_counter()
-            for r in reqs:
-                submit_t[r.id] = now
-            sess.submit(reqs)
-            made += len(reqs)
-        s = sess.step()
-        # poll ONLY when the device-side finished counter moved: the poll
-        # fetch serializes behind the whole device queue (CLAUDE.md), so
-        # an unconditional per-step poll dominates small-chunk configs
-        if s["finished_total"] > len(done_t):
-            now = time.perf_counter()
-            for r in sess.poll():
-                done_t[r.id] = now
-                n_gen += len(r.tokens) - r.prompt_len
+    if args.chunked:
+        # legacy chunk-quantum loop (r3 shape): observation and admission
+        # happen only at chunk boundaries
+        while made < args.requests or len(done_t) < args.requests:
+            if made < args.requests:
+                reqs = make_requests(
+                    min(wave, args.requests - made), id0=made)
+                now = time.perf_counter()
+                for r in reqs:
+                    submit_t[r.id] = now
+                sess.submit(reqs)
+                made += len(reqs)
+            s = sess.step()
+            # poll ONLY when the device-side finished counter moved: the
+            # poll fetch serializes behind the whole device queue
+            # (CLAUDE.md), so an unconditional per-step poll dominates
+            # small-chunk configs
+            if s["finished_total"] > len(done_t):
+                now = time.perf_counter()
+                for r in sess.poll():
+                    done_t[r.id] = now
+                    n_gen += len(r.tokens) - r.prompt_len
+    else:
+        # pipelined loop: one burst per iteration; statuses/final_lens
+        # snapshots stream back asynchronously and are read observe_lag
+        # bursts behind — burst-granular completion observation with the
+        # device queue kept observe_lag deep (never drained by a fetch)
+        collected = 0
+        submit_every = max(1, args.bursts_per_chunk)
+        i = 0
+        while made < args.requests or len(done_t) < args.requests:
+            if made < args.requests and i % submit_every == 0:
+                reqs = make_requests(
+                    min(wave, args.requests - made), id0=made)
+                now = time.perf_counter()
+                for r in reqs:
+                    submit_t[r.id] = now
+                sess.submit(reqs)
+                made += len(reqs)
+            sess.dispatch()
+            i += 1
+            block = made >= args.requests and len(done_t) < made
+            s = sess.observe(block=block)
+            if s is not None and s["finished_total"] > collected:
+                collected = s["finished_total"]
+                now = time.perf_counter()
+                for r in sess.poll(s["fin_lens"], s["n_submitted_at"]):
+                    done_t[r.id] = now
+                    n_gen += len(r.tokens) - r.prompt_len
+        for r in sess.close():
+            done_t[r.id] = time.perf_counter()
+            n_gen += len(r.tokens) - r.prompt_len
     wall = time.perf_counter() - t0
 
     lat = np.array(sorted(done_t[i] - submit_t[i] for i in done_t))
