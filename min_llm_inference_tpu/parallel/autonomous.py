@@ -200,6 +200,227 @@ def make_sharded_autonomous_fn(
     return jax.jit(wrapper, donate_argnums=(1,))
 
 
+class ShardedStreamingSession:
+    """Online serving over the dp x tp mesh: StreamingSession's contract
+    (submit / step / poll / dispatch / observe / close, capacity recycling,
+    backpressure) on ShardedAutonomousEngine. EXTENSION beyond the
+    reference (its engines consume a fixed queue, src/inferencer.cpp:43-85).
+
+    Requests deal ROUND-ROBIN to dp groups by global submission index
+    (request i -> group i % dp), each group an independent ring of
+    ``capacity // dp`` prompt rows over that group's shard — greedy
+    determinism makes tokens independent of group assignment and timing,
+    so outputs are token-exact with the single-chip session and the
+    one-shot engines (tested on the CPU mesh).
+
+    Backpressure is per-GROUP: a submission batch is accepted only if each
+    group it touches has free rows (free_capacity reports the largest
+    round-robin batch currently accepted)."""
+
+    def __init__(self, engine: "ShardedAutonomousEngine", capacity: int,
+                 max_prompt_len: int, observe_lag: int = 2):
+        from collections import deque
+
+        S = engine.model_cfg.n_seq
+        assert max_prompt_len + 1 <= S
+        dp = engine.dp
+        assert capacity % dp == 0, "capacity must divide over dp groups"
+        self.engine = engine
+        self.dp = dp
+        self.capacity = capacity
+        self.cap_loc = capacity // dp
+        self.max_prompt_len = max_prompt_len
+        self.s_pre = min(S, 1 << (max_prompt_len - 1).bit_length())
+        self.observe_lag = max(1, observe_lag)
+        self._pending = deque()
+        self.st = init_sharded_auto_state(
+            engine.model_cfg, engine.local_cfg, engine.mesh, dp,
+            self.cap_loc,
+        )
+        sh_rows = NamedSharding(engine.mesh, P("dp", None))
+        sh_vec = NamedSharding(engine.mesh, P("dp"))
+        self.prompts_dev = jax.device_put(
+            jnp.zeros((capacity, self.s_pre), jnp.int32), sh_rows)
+        self.plens_dev = jax.device_put(
+            jnp.zeros((capacity,), jnp.int32), sh_vec)
+        self.n_submitted = 0                      # global counter
+        self._n_sub_g = [0] * dp                  # per-group counters
+        self._frontier_g = [0] * dp               # collected frontiers
+        self._requests: List[Request] = []
+        self._plens: List[int] = []
+        self._collected: set = set()
+
+    # request i -> (group, local sequence number, buffer row)
+    def _place(self, i: int):
+        g = i % self.dp
+        j = i // self.dp
+        return g, j, g * self.cap_loc + j % self.cap_loc
+
+    @property
+    def free_capacity(self) -> int:
+        """Largest round-robin batch submit() currently accepts (limited
+        by the fullest group's ring)."""
+        free_g = [
+            self.cap_loc - (self._n_sub_g[g] - self._frontier_g[g])
+            for g in range(self.dp)
+        ]
+        # batch of k starting at global n_submitted: group (n+r) % dp gets
+        # ceil((k - r') / dp) items; the binding constraint is min free
+        n = self.n_submitted
+        k = 0
+        while True:
+            g = (n + k) % self.dp
+            if free_g[g] == 0:
+                return k
+            free_g[g] -= 1
+            k += 1
+            if k >= self.capacity:
+                return k
+
+    def submit(self, requests: List[Request]) -> None:
+        if not requests:
+            return
+        k = len(requests)
+        assert k <= self.free_capacity, (
+            f"backpressure: {k} submissions > free_capacity="
+            f"{self.free_capacity}; poll() to collect completions or shed "
+            "load upstream"
+        )
+        rows = np.zeros((k, self.s_pre), np.int32)
+        lens = np.zeros((k,), np.int32)
+        row_ids = np.zeros((k,), np.int32)
+        for i, req in enumerate(requests):
+            assert 0 < len(req.tokens) <= self.max_prompt_len
+            rows[i, : len(req.tokens)] = req.tokens
+            lens[i] = len(req.tokens)
+            _, _, row_ids[i] = self._place(self.n_submitted + i)
+        # one scatter covers the (non-contiguous, round-robin) target rows
+        idx = jnp.asarray(row_ids)
+        self.prompts_dev = self.prompts_dev.at[idx].set(jnp.asarray(rows))
+        self.plens_dev = self.plens_dev.at[idx].set(jnp.asarray(lens))
+        self.st = self.st._replace(
+            final_lens=self.st.final_lens.at[idx].set(0)
+        )
+        for i, req in enumerate(requests):
+            g, _, _ = self._place(self.n_submitted + i)
+            self._n_sub_g[g] += 1
+        self.n_submitted += k
+        self._requests.extend(requests)
+        self._plens.extend(int(x) for x in lens)
+
+    def _n_real(self):
+        sh_vec = NamedSharding(self.engine.mesh, P("dp"))
+        return jax.device_put(
+            jnp.asarray(self._n_sub_g, jnp.int32), sh_vec)
+
+    def _status_dict(self, stat, fin_lens=None):
+        dp = self.dp
+        queued = sum(
+            self._n_sub_g[g] - int(stat[g, 1]) + int(stat[g, 3])
+            for g in range(dp)
+        )
+        d = {"live": int(stat[:, 0].sum()),
+             "queued": queued,
+             "free_groups": int(stat[:, 2].sum()),
+             "finished_total": int(stat[:, 4].sum())}
+        if fin_lens is not None:
+            d["fin_lens"] = fin_lens
+        return d
+
+    def step(self, n_bursts: int | None = None) -> dict:
+        eng = self.engine
+        for _ in range(n_bursts or eng.chunk):
+            self.st, status = eng._burst(
+                eng.params, self.st, self.prompts_dev, self.plens_dev,
+                self._n_real(),
+            )
+        return self._status_dict(np.asarray(status))
+
+    def dispatch(self) -> None:
+        """Pipelined serving (see StreamingSession.dispatch): one burst +
+        async status/final_lens snapshot copies."""
+        eng = self.engine
+        self.st, status = eng._burst(
+            eng.params, self.st, self.prompts_dev, self.plens_dev,
+            self._n_real(),
+        )
+        fin = jnp.copy(self.st.final_lens)
+        status.copy_to_host_async()
+        fin.copy_to_host_async()
+        self._pending.append((status, fin, self.n_submitted))
+
+    def observe(self, block: bool = False) -> dict | None:
+        if not self._pending or (
+            len(self._pending) <= self.observe_lag and not block
+        ):
+            return None
+        status, fin, n_sub = self._pending.popleft()
+        d = self._status_dict(np.asarray(status), np.asarray(fin))
+        d["n_submitted_at"] = n_sub
+        return d
+
+    def poll(self, fin_lens: np.ndarray | None = None,
+             n_submitted_at: int | None = None) -> List[Request]:
+        fl = (np.asarray(self.st.final_lens) if fin_lens is None
+              else fin_lens)
+        hi = (self.n_submitted if fin_lens is None
+              else min(self.n_submitted,
+                       n_submitted_at if n_submitted_at is not None
+                       else self.n_submitted))
+        new = []
+        for i in range(hi):
+            if i in self._collected:
+                continue
+            g, j, row = self._place(i)
+            if j < self._frontier_g[g]:
+                continue
+            if fl[row] > 0:
+                new.append((i, row))
+        if not new:
+            return []
+        bucket = min(self.capacity, 1 << (len(new) - 1).bit_length())
+        idx = np.zeros(bucket, np.int32)
+        idx[: len(new)] = [row for _, row in new]
+        rows = np.asarray(self.st.out_tokens[jnp.asarray(idx)])
+        out = []
+        for x, (i, row) in enumerate(new):
+            req = self._requests[i]
+            req.tokens.extend(
+                rows[x, self._plens[i]: int(fl[row])].tolist())
+            self._collected.add(i)
+            out.append(req)
+        # advance per-group frontiers over collected prefixes
+        for g in range(self.dp):
+            while (self._frontier_g[g] * self.dp + g < self.n_submitted
+                   and (self._frontier_g[g] * self.dp + g)
+                   in self._collected):
+                self._collected.discard(self._frontier_g[g] * self.dp + g)
+                self._frontier_g[g] += 1
+        return out
+
+    def close(self) -> List[Request]:
+        out = []
+        while self._pending:
+            s = self.observe(block=True)
+            out.extend(self.poll(s["fin_lens"], s["n_submitted_at"]))
+        prev = None
+        while True:
+            s = self.step()
+            out.extend(self.poll())
+            if s["live"] == 0 and s["queued"] == 0:
+                break
+            if s["live"] == 0 and s["queued"] > 0:
+                key = (s["queued"], s["free_groups"])
+                if key == prev:
+                    raise RuntimeError(
+                        "sharded streaming session stalled: pool exhausted")
+                prev = key
+            else:
+                prev = None
+        out.extend(self.poll())
+        return out
+
+
 class ShardedAutonomousEngine:
     """AutonomousEngine over an n-device dp x tp mesh (same .run API).
 

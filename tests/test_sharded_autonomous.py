@@ -166,6 +166,57 @@ def test_sharded_autonomous_overcommit_matches_single_chip(
         assert store.finished[i].tokens == single_oc.finished[i].tokens, i
 
 
+def test_sharded_streaming_matches_oneshot(params, rng):
+    """Mesh serving: ShardedStreamingSession (round-robin dealt per-group
+    rings, pipelined observe, row recycling) is token-exact with the
+    single-chip one-shot engine."""
+    from min_llm_inference_tpu.parallel.autonomous import (
+        ShardedStreamingSession,
+    )
+
+    n_devices, tp = 4, 1
+    dp = n_devices // tp
+    n = 26
+    cfg = EngineConfig(
+        n_slots=2 * dp, page_size=8, n_pages=2 * dp * 4,
+        n_forward_rounds=2, max_prefill_batch=8,
+    )
+    base = make_store(rng, n)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+    oracle = ItemStorage()
+    for i, p in enumerate(prompts):
+        oracle.add_new_item(Request(i, list(p)))
+    run_single(params, cfg, oracle, "jnp")
+
+    eng = ShardedAutonomousEngine(
+        params, MODEL, cfg, n_devices=n_devices, tp=tp,
+        attention_impl="jnp", max_new_per_burst=2, bursts_per_chunk=2,
+    )
+    # capacity < n forces per-group row recycling
+    sess = ShardedStreamingSession(eng, capacity=16, max_prompt_len=16,
+                                   observe_lag=2)
+    finished = {}
+    submitted = 0
+    for _ in range(600):
+        take = min(4, n - submitted, sess.free_capacity)
+        if take:
+            sess.submit([Request(i, list(prompts[i]))
+                         for i in range(submitted, submitted + take)])
+            submitted += take
+        sess.dispatch()
+        s = sess.observe()
+        if s is not None and s["finished_total"]:
+            for r in sess.poll(s["fin_lens"], s["n_submitted_at"]):
+                finished[r.id] = r
+        if submitted == n and len(finished) == n:
+            break
+    for r in sess.close():
+        finished[r.id] = r
+    assert len(finished) == n
+    for i in range(n):
+        assert finished[i].tokens == oracle.finished[i].tokens, i
+
+
 def test_sharded_autonomous_rejects_bad_shapes(params):
     cfg = EngineConfig(n_slots=6, page_size=8, n_pages=24)
     with pytest.raises(AssertionError):

@@ -66,6 +66,8 @@ def main():
     ap.add_argument("--chunked", action="store_true",
                     help="legacy chunk-quantum loop (step + fin-gated poll)")
     ap.add_argument("--observe-lag", type=int, default=2)
+    ap.add_argument("--subbursts", type=int, default=2,
+                    help="in-burst admission granularity (see bench.py)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -76,6 +78,7 @@ def main():
     engine_cfg = EngineConfig(
         n_slots=args.slots, n_pages=args.pages, page_size=32,
         n_forward_rounds=args.rounds, kv_dtype=args.kv_dtype,
+        subbursts=args.subbursts,
     )
     # bench.py's uniform(0,1) weights with the EOF row scaled so sequences
     # terminate like the reference profile workload
