@@ -115,13 +115,15 @@ def main():
                     help="contiguous-run DMA length in pages (grouped kernel)")
     ap.add_argument("--attn-group", type=int, default=None,
                     help="grouped-kernel slots per grid step (default auto)")
-    ap.add_argument("--subbursts", type=int, default=2,
+    ap.add_argument("--subbursts", type=int, default=None,
                     help="in-burst admission granularity: split each "
                          "burst's rounds into this many admit+decode+flush "
-                         "bodies (one dispatch either way). Same-session "
-                         "sweep at rounds=16: 1 -> 450.5k, 2 -> 529.4k, "
-                         "4 -> 502.9k, 8 -> 323.0k tok/s (8-round "
-                         "sub-bursts are the sweet spot)")
+                         "bodies (one dispatch either way). Default: 2 for "
+                         "the ref model (same-session sweep at rounds=16: "
+                         "1 -> 450.5k, 2 -> 529.4k, 4 -> 502.9k, 8 -> "
+                         "323.0k tok/s), 1 for gpt2s (the 12-layer ring "
+                         "flush doubles with the sub-burst count and eats "
+                         "the schedule win: 73.2k -> 66.9k measured)")
     ap.add_argument("--attn-dense", action="store_true",
                     help="dense-view XLA page partial (full-grant group "
                          "rows; the gpt2s op-floor fix)")
@@ -162,7 +164,8 @@ def main():
         attn_group_size=args.attn_group,
         decode_ring=not args.no_ring,
         attn_dense=args.attn_dense,
-        subbursts=args.subbursts,
+        subbursts=(args.subbursts if args.subbursts is not None
+                   else (1 if args.model == "gpt2s" else 2)),
         overcommit=args.overcommit,
     )
     rng = np.random.default_rng(0)

@@ -23,6 +23,21 @@ Kernel-structure attribution: shares the double-buffered page-DMA scheme
 derived from JAX's Apache-2.0 ``jax.experimental.pallas.ops.tpu
 .paged_attention`` kernel (see ops/paged_attention.py), reworked here for
 grouped slots and batched VPU statistics.
+
+MEASURED NEGATIVE RESULT (round 4, code in git at 647f7ae): hoisting the
+batched-heads path's remaining per-slot elementwise ops into whole-group
+stacks — one [G*bk, D] int8->f32 convert per side, q broadcast to rows by
+an MXU dot against the slot-expansion matrix E[r, j] = [r//bk == j], and
+the PV diagonal mask+fold once per step on the stacked [G*H, D] result,
+leaving only the two MXU dots per slot — LOST end-to-end on gpt2s:
+77.4k -> 73.2k tok/s (same-session A/B, subbursts=1). Two mechanisms:
+the whole-group f32 temps (3*G*bk*D*4 bytes) push the VMEM chooser from
+ppcb=4 to ppcb=2, doubling grid steps at grown contexts; and the big
+passes + small-contraction MXU broadcast cost more wall time than the
+~80-100ns/op issue floor they save — the same trade that sank the flat
+kernel (ops/paged_attention_flat.py), at smaller scale. The per-slot
+form below (7 ops/slot: convert, q-mul, score dot, convert, PV dot,
+diag mask, fold dot) remains the measured optimum at bench shapes.
 """
 
 from __future__ import annotations
@@ -337,58 +352,31 @@ def _grouped_kernel(
             # per-head outputs are the diagonal dh-blocks of the result.
             # Extracting them by slicing produces lane-misaligned [1, dh]
             # pieces Mosaic cannot concat ("offset mismatch on non-concat
-            # dimension"), so fold them with a masked dot instead: zero the
-            # off-diagonal blocks, then contract with a [D, dh] stack of
-            # identities. The mask+fold run ONCE per grid step on the
-            # stacked [G*H, D] tensor (row r is head r % H), not per slot —
-            # the per-slot op count is what the gpt2s attend pays for
-            # (~80-100ns/op trace-unrolled issue floor, CLAUDE.md), so two
-            # per-slot ops become two per-step ops (r4: 7 -> 5 ops/slot).
-            rowmask_all = (
-                lax.broadcasted_iota(jnp.int32, (G * H, dh * H), 1) // dh
-                == lax.broadcasted_iota(jnp.int32, (G * H, dh * H), 0) % H
+            # dimension"), so fold them with a second masked dot instead:
+            # zero the off-diagonal blocks, then contract with a [D, dh]
+            # stack of identities — an aligned [H, dh] block per slot.
+            rowmask = (
+                lax.broadcasted_iota(jnp.int32, (H, dh * H), 1) // dh
+                == lax.broadcasted_iota(jnp.int32, (H, dh * H), 0)
             ).astype(jnp.float32)
             fold = (
                 lax.broadcasted_iota(jnp.int32, (dh * H, dh), 0) % dh
                 == lax.broadcasted_iota(jnp.int32, (dh * H, dh), 1)
             ).astype(jnp.float32)
 
-        if batched_heads:
-            # Whole-group stacks, built ONCE per grid step: the per-slot
-            # attend cost is dominated by the ~80-100ns trace-unrolled op
-            # floor (CLAUDE.md), so every per-slot elementwise op is hoisted
-            # into one [G*bk, D] pass. q broadcasts to rows via an MXU dot
-            # against the slot-expansion matrix E (E[r, j] = [r//bk == j])
-            # — Mosaic offers no cheap transpose or interleaving repeat, but
-            # the MXU multiplies faster than the VPU can copy.
-            kall_f = (kv_buf[buffer_index, :, :, 0]
-                      .reshape(G * bk, dkv).astype(jnp.float32))
-            vall_f = (kv_buf[buffer_index, :, :, 1]
-                      .reshape(G * bk, dkv).astype(jnp.float32))
-            e_mat = (
-                lax.broadcasted_iota(jnp.int32, (G * bk, G), 0) // bk
-                == lax.broadcasted_iota(jnp.int32, (G * bk, G), 1)
-            ).astype(jnp.float32)
-            q_bcast = lax.dot_general(
-                e_mat, q2_ref[...].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )                                   # [G*bk, D]
-            p_all = kall_f * q_bcast
-
         def compute_qk(block_of, ncols):
             """[G*H, ncols] raw QK^T scores over blocks from block_of(j, 0)
             (a [ncols, Dk] raw K block per slot); per-slot dots — different
-            K per slot. Batched-heads path: the only per-slot op is the
-            [D, H]-masked dot on a slice of the precomputed p_all stack
-            (r4: 7 -> ~2 per-slot ops with the PV fold batched too)."""
+            K per slot. Conversion temps are transient per dot, not held
+            across the flash stats."""
             qk_rows = []
             if batched_heads:
                 for j in range(G):
+                    kb = block_of(j, 0).astype(jnp.float32)
+                    p = kb * q2_ref[j : j + 1, :].astype(jnp.float32)
                     qk_rows.append(
                         lax.dot_general(
-                            m_mat, p_all[j * bk : (j + 1) * bk],
-                            (((0,), (1,)), ((), ())),
+                            m_mat, p, (((0,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
                         )
                     )  # [H, ncols]
@@ -408,25 +396,23 @@ def _grouped_kernel(
 
         def compute_pv(block_of, s_eff, ncols):
             """[G*H, dh] PV products for scale-folded probabilities s_eff
-            [G*H, ncols] against V blocks from block_of(j, 1). Batched-heads
-            path: the per-slot work is ONE dot ([H, ncols] x [ncols, D]);
-            the diagonal-block extraction (mask + fold dot) runs once per
-            step on the stacked [G*H, D] result."""
+            [G*H, ncols] against V blocks from block_of(j, 1)."""
             o_rows = []
             if batched_heads:
                 for j in range(G):
-                    o_rows.append(lax.dot_general(
-                        s_eff[j * H : (j + 1) * H, :],
-                        vall_f[j * bk : (j + 1) * bk],
+                    vb = block_of(j, 1).astype(jnp.float32)
+                    r = lax.dot_general(
+                        s_eff[j * H : (j + 1) * H, :], vb,
                         (((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
-                    ))  # [H, D]
-                r_all = jnp.concatenate(o_rows, axis=0)  # [G*H, D]
-                return lax.dot_general(
-                    r_all * rowmask_all, fold,
-                    (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [G*H, dh]
+                    )  # [H, D]
+                    o_rows.append(
+                        lax.dot_general(
+                            r * rowmask, fold,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )  # [H, dh]
             else:
                 for j in range(G):
                     vb = block_of(j, 1)
@@ -598,20 +584,14 @@ def _grouped_kernel(
                     wb_copy(j, p_loc, pid).wait()
 
 
-def _vmem_cost(g, c, page_size, d, kv_bytes, batched=False):
+def _vmem_cost(g, c, page_size, d, kv_bytes):
     """Scoped-VMEM bytes for a (group_size, ppcb) candidate: the
     double-buffered raw KV block buffer plus a margin for the transient
-    f32 convert temps feeding the MXU. Per-head path: a handful of
-    [bk, D] blocks live at a time (dequant scales are folded into the
-    score columns, so no persistent dequantized copies exist). Batched-
-    heads path (r4): the whole-group [G*bk, D] f32 stacks (converted K/V,
-    MXU-broadcast q, their product) live across the per-slot dot loop —
-    ~3 concurrent full-width temps."""
+    f32 convert temps feeding the MXU (a handful of [bk, D] blocks live
+    at a time — dequant scales are folded into the score columns, so no
+    persistent dequantized copies exist)."""
     raw = 2 * g * c * 2 * page_size * d * kv_bytes
-    if batched:
-        temps = 3 * g * c * page_size * d * 4
-    else:
-        temps = 4 * c * page_size * d * 4
+    temps = 4 * c * page_size * d * 4
     return raw + temps
 
 
@@ -623,7 +603,7 @@ _VMEM_BUDGET = 72 * 1024 * 1024
 _VMEM_LIMIT = 112 * 1024 * 1024
 
 
-def _choose_group(b, w, page_size, d, kv_bytes, batched=False):
+def _choose_group(b, w, page_size, d, kv_bytes):
     """Pick (group_size, ppcb) maximizing in-flight pages within budget,
     preferring wider groups (more slots batched per grid step).
 
@@ -642,17 +622,16 @@ def _choose_group(b, w, page_size, d, kv_bytes, batched=False):
         for c in range(w, 0, -1):
             if w % c:
                 continue
-            if _vmem_cost(g, c, page_size, d, kv_bytes, batched) <= _VMEM_BUDGET:
+            if _vmem_cost(g, c, page_size, d, kv_bytes) <= _VMEM_BUDGET:
                 if g * c > best[0] * best[1]:
                     best = (g, c)
                 break
     return best
 
 
-def _best_ppcb(w, g, page_size, d, kv_bytes, batched=False):
+def _best_ppcb(w, g, page_size, d, kv_bytes):
     for c in range(w, 0, -1):
-        if w % c == 0 and _vmem_cost(
-                g, c, page_size, d, kv_bytes, batched) <= _VMEM_BUDGET:
+        if w % c == 0 and _vmem_cost(g, c, page_size, d, kv_bytes) <= _VMEM_BUDGET:
             return c
     return 1
 
@@ -737,16 +716,10 @@ def paged_decode_attention_grouped(
         B += pad
     if packed_int4:
         assert dh % 2 == 0 and k_scales is not None
-    # multihead: batch each slot's H per-head dots into one masked dot
-    # and the elementwise/convert work into whole-group stacks (see
-    # _grouped_kernel); int4 keeps the per-head plane path
-    batched = n_heads > 1 and not packed_int4
-    auto_g, auto_c = _choose_group(B, W, P, Dk, kv_pages.dtype.itemsize,
-                                   batched)
+    auto_g, auto_c = _choose_group(B, W, P, Dk, kv_pages.dtype.itemsize)
     G = group_size or auto_g
-    ppcb = pages_per_compute_block or (
-        auto_c if group_size is None else
-        _best_ppcb(W, G, P, Dk, kv_pages.dtype.itemsize, batched))
+    ppcb = pages_per_compute_block or (auto_c if group_size is None else
+                                       _best_ppcb(W, G, P, Dk, kv_pages.dtype.itemsize))
     assert B % G == 0 and W % ppcb == 0
     assert G * n_heads >= 8, "need >=8 rows per block for TPU sublane tiling"
     quantized = k_scales is not None
@@ -783,6 +756,10 @@ def paged_decode_attention_grouped(
             "pages_per_dma > 1 requires contiguous_pages"
         )
         ppd = 1
+
+    # multihead: batch each slot's H per-head dots into one masked dot
+    # (see _grouped_kernel); int4 keeps the per-head plane path
+    batched = n_heads > 1 and not packed_int4
 
     q3 = q.reshape(B * n_heads, dh)
     block_spec = pl.BlockSpec((G * n_heads, dh), lambda g, i, *_: (g, 0))
