@@ -103,6 +103,12 @@ def main():
                     choices=["jnp", "pallas", "grouped"])
     ap.add_argument("--max-prefill-batch", type=int, default=128)
     ap.add_argument("--no-warmup", action="store_true")
+    ap.add_argument("--warm-requests", type=int, default=None,
+                    help="warm-run request count (default 64). Overcommit "
+                         "runs admit different slot counts than full grant, "
+                         "so their big prefill buckets only compile under a "
+                         "full-size warm stream — pass the timed --requests "
+                         "value to keep remote compiles out of timed run 1")
     ap.add_argument("--engine", default="auto", choices=["host", "auto"])
     ap.add_argument("--model", default="ref", choices=["ref", "gpt2s"],
                     help="ref = reference-parity single attention block; "
@@ -127,6 +133,9 @@ def main():
     ap.add_argument("--attn-dense", action="store_true",
                     help="dense-view XLA page partial (full-grant group "
                          "rows; the gpt2s op-floor fix)")
+    ap.add_argument("--attn-dgrid", action="store_true",
+                    help="dense-grid Pallas page partial (block-pipelined "
+                         "pool stream over full-grant group rows)")
     ap.add_argument("--overcommit", action="store_true",
                     help="half-group grants + growth + youngest-first "
                          "preemption (pair with a reduced --pages to "
@@ -164,6 +173,7 @@ def main():
         attn_group_size=args.attn_group,
         decode_ring=not args.no_ring,
         attn_dense=args.attn_dense,
+        attn_dgrid=args.attn_dgrid,
         subbursts=(args.subbursts if args.subbursts is not None
                    else (1 if args.model == "gpt2s" else 2)),
         overcommit=args.overcommit,
@@ -180,7 +190,8 @@ def main():
         # Warm run: compiles every jit (prefill bucket, decode) on a small
         # request stream; jit caches are keyed per config so the timed run
         # recompiles nothing.
-        warm_store = build_store(rng, min(args.slots, 64), min(64, args.seq // 2), args.vocab)
+        n_warm = args.warm_requests or min(args.slots, 64)
+        warm_store = build_store(rng, n_warm, min(64, args.seq // 2), args.vocab)
         run_once(params, model_cfg, engine_cfg, warm_store, args.attention,
                  args.engine, args.bursts_per_chunk, args.requests,
                  args.max_new_per_burst, args.min_drain_slots)

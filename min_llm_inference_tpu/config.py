@@ -112,6 +112,15 @@ class EngineConfig:
     # (half-group grants break the dense view). Wins at 1-2 page contexts
     # (gpt2s); the grouped kernel stays better at long contexts.
     attn_dense: bool = False
+    # Ring-mode attention formulation, round-4 second attack on the op
+    # floor: the DENSE-GRID Pallas kernel (ops/paged_attention_dgrid.py).
+    # Grids over contiguous group blocks of the full-grant pool view with
+    # regular BlockSpec pipelining (one block DMA per Gb slots instead of
+    # per-slot copy chains), constant-op selector-dot compute per block,
+    # and a scalar-prefetched per-block page-width gate. Engages only on
+    # the contiguous-pages (autonomous) path; requires overcommit off and
+    # unpacked KV (int8/float).
+    attn_dgrid: bool = False
     # AutonomousEngine sub-bursts: run the admit->prefill->decode->flush
     # body this many times INSIDE one jitted burst (n_forward_rounds must
     # divide evenly). Finer admission granularity without extra host
@@ -183,16 +192,20 @@ class EngineConfig:
             assert (self.pages_per_dma or 1) <= half, (
                 "pages_per_dma must fit a half-group under overcommit"
             )
-            assert not self.attn_dense, (
-                "attn_dense needs full-grant contiguous group rows; "
-                "overcommit grants half-groups"
+            assert not (self.attn_dense or self.attn_dgrid), (
+                "attn_dense/attn_dgrid need full-grant contiguous group "
+                "rows; overcommit grants half-groups"
             )
-        assert not (self.attn_dense and self.attn_flat), (
-            "attn_dense and attn_flat are mutually exclusive ring "
-            "formulations"
+        assert self.attn_dense + self.attn_flat + self.attn_dgrid <= 1, (
+            "attn_dense, attn_flat and attn_dgrid are mutually exclusive "
+            "ring formulations"
         )
-        assert not self.attn_dense or self.decode_ring, (
-            "attn_dense implements the ring partial contract only"
+        assert not (self.attn_dense or self.attn_dgrid) or self.decode_ring, (
+            "attn_dense/attn_dgrid implement the ring partial contract only"
+        )
+        assert not (self.attn_dgrid and self.kv_packed), (
+            "attn_dgrid does not support packed int4 KV (per-head nibble "
+            "planes defeat the whole-block selector dot)"
         )
         assert self.subbursts >= 1 and (
             self.n_forward_rounds % self.subbursts == 0

@@ -639,7 +639,21 @@ def make_ring_round_callbacks(
         # page partial from the kernel (pool read-only, positions < rs)
         max_run = (page_table.shape[1] // 2
                    if engine_cfg.overcommit else None)
-        if engine_cfg.attn_dense and contiguous_pages:
+        if engine_cfg.attn_dgrid and contiguous_pages:
+            # dense-grid Pallas partial: block-pipelined pool stream over
+            # the full-grant group view, constant ops per group block
+            # (ops/paged_attention_dgrid.py)
+            from ..ops.paged_attention_dgrid import dgrid_paged_partial
+
+            o_p, m_p, l_p = dgrid_paged_partial(
+                q, kv_pages[li],
+                k_scales[li] if quantized else None,
+                v_scales[li] if quantized else None,
+                ring_start, lens, page_table,
+                n_heads=heads, page_size=P,
+                interpret=interpret,
+            )
+        elif engine_cfg.attn_dense and contiguous_pages:
             # dense-view XLA partial over the full-grant group layout —
             # zero per-slot ops (the gpt2s op-floor fix; see
             # ops/paged_attention_dense.py for the measured trade)

@@ -344,18 +344,22 @@ class ShardedStreamingSession:
             eng.params, self.st, self.prompts_dev, self.plens_dev,
             self._n_real(),
         )
-        fin = jnp.copy(self.st.final_lens)
-        status.copy_to_host_async()
-        fin.copy_to_host_async()
-        self._pending.append((status, fin, self.n_submitted))
+        # one fused d2h snapshot per burst (status + final_lens in one
+        # array = one RPC), mirroring StreamingSession.dispatch
+        snap = jnp.concatenate(
+            [status.astype(jnp.int32).reshape(-1), self.st.final_lens])
+        snap.copy_to_host_async()
+        self._pending.append((snap, status.shape, self.n_submitted))
 
     def observe(self, block: bool = False) -> dict | None:
         if not self._pending or (
             len(self._pending) <= self.observe_lag and not block
         ):
             return None
-        status, fin, n_sub = self._pending.popleft()
-        d = self._status_dict(np.asarray(status), np.asarray(fin))
+        snap, stat_shape, n_sub = self._pending.popleft()
+        host = np.asarray(snap)
+        ns = int(np.prod(stat_shape))
+        d = self._status_dict(host[:ns].reshape(stat_shape), host[ns:])
         d["n_submitted_at"] = n_sub
         return d
 

@@ -936,13 +936,17 @@ class StreamingSession:
             eng.params, self.st, self.prompts_dev, self.plens_dev,
             jnp.asarray(self.n_submitted, jnp.int32),
         )
-        fin = jnp.copy(self.st.final_lens)
-        status.copy_to_host_async()
-        fin.copy_to_host_async()
+        # ONE fused d2h snapshot per burst: status and final_lens ride one
+        # array, one RPC — every d2h fetch is an RPC on this transport
+        # (CLAUDE.md) and two per burst measured 113k tok/s on the serving
+        # bench (vs 193k for the chunked loop's one per 6 bursts).
+        snap = jnp.concatenate(
+            [status.astype(jnp.int32), self.st.final_lens])
+        snap.copy_to_host_async()
         # n_submitted rides along: a row recycled AFTER this snapshot may
         # still carry its previous occupant's final length in the snapshot,
         # so polls against it must ignore later submissions
-        self._pending.append((status, fin, self.n_submitted))
+        self._pending.append((snap, self.n_submitted))
 
     def observe(self, block: bool = False) -> dict | None:
         """Read the oldest in-flight burst's status if it is at least
@@ -952,13 +956,14 @@ class StreamingSession:
             len(self._pending) <= self.observe_lag and not block
         ):
             return None
-        status, fin, n_sub = self._pending.popleft()
-        live, head, free, retry, finc = (int(x) for x in np.asarray(status))
+        snap, n_sub = self._pending.popleft()
+        host = np.asarray(snap)
+        live, head, free, retry, finc = (int(x) for x in host[:5])
         return {"live": live,
                 "queued": self.n_submitted - head + retry,
                 "free_groups": free,
                 "finished_total": finc,
-                "fin_lens": np.asarray(fin),
+                "fin_lens": host[5:],
                 "n_submitted_at": n_sub}
 
     def poll(self, fin_lens: np.ndarray | None = None,

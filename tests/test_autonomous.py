@@ -114,6 +114,32 @@ def test_autonomous_dense_attend_matches_jnp(params, rng, kv_dtype):
         assert stores[False].finished[i].tokens == stores[True].finished[i].tokens, i
 
 
+@pytest.mark.parametrize("kv_dtype", ["float32", "int8"])
+def test_autonomous_dgrid_attend_matches_jnp(params, rng, kv_dtype):
+    """attn_dgrid (the dense-grid Pallas partial over full-grant group
+    rows, ops/paged_attention_dgrid.py) must be token-exact with the jnp
+    oracle through the same engine — including slot turnover, where group
+    assignments become non-identity. (int4 is rejected by config.)"""
+    n = 14
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for dgrid in (False, True):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=2,
+            kv_dtype=kv_dtype, attn_dgrid=dgrid,
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        impl = "grouped" if dgrid else "jnp"
+        AutonomousEngine(params, MODEL, cfg, attention_impl=impl).run(s)
+        stores[dgrid] = s
+    assert len(stores[True].finished) == n
+    for i in range(n):
+        assert stores[False].finished[i].tokens == stores[True].finished[i].tokens, i
+
+
 def test_autonomous_subbursts_match_single(params, rng):
     """subbursts > 1 (in-burst re-admission every R/subbursts rounds) must
     be token-exact with the single-body burst: scheduling granularity may

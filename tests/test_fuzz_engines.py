@@ -30,14 +30,17 @@ from min_llm_inference_tpu import (
 )
 from min_llm_inference_tpu.runtime.autonomous import AutonomousEngine
 
-# (page_size, n_slots, pool_groups, rounds, kv_dtype, n_seq, vocab)
+# (page_size, n_slots, pool_groups, rounds, kv_dtype, n_seq, vocab, flags)
 DRAWS = [
-    (8, 6, 6, 3, "float32", 40, 128),
-    (16, 12, 12, 5, "float32", 48, 256),
-    (16, 8, 8, 2, "int8", 64, 256),
-    (32, 8, 8, 4, "int8", 64, 512),
-    (16, 8, 8, 4, "int4", 64, 256),
-    (8, 10, 10, 1, "int8", 32, 128),
+    (8, 6, 6, 3, "float32", 40, 128, {}),
+    (16, 12, 12, 5, "float32", 48, 256, {}),
+    (16, 8, 8, 2, "int8", 64, 256, {}),
+    (32, 8, 8, 4, "int8", 64, 512, {}),
+    (16, 8, 8, 4, "int4", 64, 256, {}),
+    (8, 10, 10, 1, "int8", 32, 128, {}),
+    # dense-grid Pallas ring partial over full-grant group rows
+    (16, 8, 8, 4, "int8", 64, 256, {"attn_dgrid": True}),
+    (8, 6, 6, 3, "float32", 40, 128, {"attn_dgrid": True}),
 ]
 
 
@@ -51,17 +54,17 @@ def _run(engine_cls, params, model, cfg, prompts, **kw):
 
 
 @pytest.mark.parametrize(
-    "page_size,slots,groups,rounds,kv_dtype,n_seq,vocab", DRAWS
+    "page_size,slots,groups,rounds,kv_dtype,n_seq,vocab,flags", DRAWS
 )
 def test_fuzz_host_vs_autonomous(page_size, slots, groups, rounds,
-                                 kv_dtype, n_seq, vocab):
+                                 kv_dtype, n_seq, vocab, flags):
     model = ModelConfig(n_vocab=vocab, emb_dim=64, n_seq=n_seq,
                         eof_token_id=vocab - 1)
     W = -(-n_seq // page_size)
     cfg = EngineConfig(
         n_slots=slots, page_size=page_size, n_pages=groups * W,
         n_forward_rounds=rounds, kv_dtype=kv_dtype,
-        max_prefill_batch=slots,
+        max_prefill_batch=slots, **flags,
     )
     seed = hash((page_size, slots, rounds, kv_dtype)) % 2**31
     rng = np.random.default_rng(seed)

@@ -16,6 +16,9 @@ from min_llm_inference_tpu.models.paged import merge_ring_partial
 from min_llm_inference_tpu.ops.paged_attention_dense import (
     dense_paged_partial_bucketed,
 )
+from min_llm_inference_tpu.ops.paged_attention_dgrid import (
+    dgrid_paged_partial,
+)
 from min_llm_inference_tpu.ops.paged_attention_flat import (
     paged_decode_attention_flat,
 )
@@ -42,8 +45,8 @@ def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv, impl="grouped"):
     vsrc = rng.standard_normal((B, S, D)).astype(np.float32)
     q = rng.standard_normal((B, D)).astype(np.float32)
 
-    if impl == "dense":
-        # the dense view requires full-grant group rows (group_id*W + i);
+    if impl in ("dense", "dgrid"):
+        # these views require full-grant group rows (group_id*W + i);
         # groups are still assigned randomly (non-identity slot->group)
         grps = rng.permutation(NP // W)[:B].astype(np.int32)
         perm = grps[:, None] * W + np.arange(W, dtype=np.int32)[None, :]
@@ -111,7 +114,15 @@ def _mk_case(rng, B, H, D, P, W, NP, R, kv, lengths, nv, impl="grouped"):
             pool[pg, 0, pos % P] = 99 if quant else 1e30
             pool[pg, 1, pos % P] = -99 if quant else -1e30
 
-    if impl == "dense":
+    if impl == "dgrid":
+        o_p, m_p, l_p = dgrid_paged_partial(
+            jnp.asarray(q), jnp.asarray(pool),
+            jnp.asarray(k_scales) if quant else None,
+            jnp.asarray(v_scales) if quant else None,
+            jnp.asarray(rs), jnp.asarray(lengths), jnp.asarray(perm),
+            n_heads=H, page_size=P, interpret=True,
+        )
+    elif impl == "dense":
         o_p, m_p, l_p = dense_paged_partial_bucketed(
             jnp.asarray(q), jnp.asarray(pool),
             jnp.asarray(k_scales) if quant else None,
@@ -169,9 +180,12 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("impl", ["grouped", "flat", "dense"])
+@pytest.mark.parametrize("impl", ["grouped", "flat", "dense", "dgrid"])
 @pytest.mark.parametrize("H,kv", CASES)
 def test_ring_kernel_vs_oracle(H, kv, impl):
+    if impl == "dgrid" and kv == "int4":
+        pytest.skip("dgrid: packed int4 unsupported (per-head planes "
+                    "defeat the whole-block selector dot)")
     rng = np.random.default_rng(7)
     B, D, P, W, NP, R = 8, 128, 8, 4, 64, 8
     # lengths exercise: dead slot, all-in-ring (rs=0), page boundary

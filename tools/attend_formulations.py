@@ -44,6 +44,9 @@ from min_llm_inference_tpu.ops.paged_attention_dense import (
     dense_paged_partial,
     dense_paged_partial_bucketed,
 )
+from min_llm_inference_tpu.ops.paged_attention_dgrid import (
+    dgrid_paged_partial,
+)
 from min_llm_inference_tpu.ops.paged_attention_grouped import (
     paged_decode_attention_grouped,
 )
@@ -227,6 +230,11 @@ def main():
                 page_size=P, w_bucket=wb_)
             return (q + o.astype(q.dtype) * jnp.bfloat16(1e-6),)
 
+        def step_dgrid(q):
+            o, m, l = dgrid_paged_partial(
+                q, pool, ks, vs, rs, lens, table, n_heads=H, page_size=P)
+            return (q + o.astype(q.dtype) * jnp.bfloat16(1e-6),)
+
         def step_bucketed(q):
             o, m, l = dense_paged_partial_bucketed(
                 q, pool, ks, vs, rs, lens, table, n_heads=H, page_size=P)
@@ -235,6 +243,10 @@ def main():
         row = {"page_ctx": L, "w_bucket": wb}
         jk = jax.jit(step_kernel)
         row["kernel_ms"] = chain_time(lambda s: jk(*s), (q0,)) * 1e3
+        # dense-grid Pallas kernel (block-pipelined pool stream, constant
+        # ops per group block, per-block width gate)
+        jg = jax.jit(step_dgrid)
+        row["dgrid_ms"] = chain_time(lambda s: jg(*s), (q0,)) * 1e3
         jd = jax.jit(functools.partial(step_dense, fn=dense_partial))
         row["dense_er_ms"] = chain_time(lambda s: jd(*s), (q0,)) * 1e3
         jdd = jax.jit(functools.partial(step_dense, fn=dense_partial_dot))
