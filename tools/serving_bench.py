@@ -68,6 +68,16 @@ def main():
     ap.add_argument("--observe-lag", type=int, default=2)
     ap.add_argument("--subbursts", type=int, default=2,
                     help="in-burst admission granularity (see bench.py)")
+    # open-loop arrivals: requests become available at fixed rate lambda
+    # (req/s) on a virtual clock; latency is measured from the SCHEDULED
+    # arrival time, the standard serving-bench convention. The closed-loop
+    # default (all waves queued up front at 2x oversubscription) has a
+    # queueing+generation latency floor of ~292 ms at bench shapes
+    # (SERVING_r03 latency_floor_analysis), so tail targets are only
+    # meaningful at a controlled offered load below saturation
+    ap.add_argument("--arrival-rate", type=float, default=None, metavar="REQ_S",
+                    help="open-loop arrival rate (requests/second); "
+                         "overrides --waves")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -112,6 +122,13 @@ def main():
     warm = StreamingSession(eng, capacity=args.requests,
                             max_prompt_len=args.max_prompt)
     warm.submit(make_requests(wave))
+    if args.arrival_rate:
+        # open-loop submits power-of-two batches; compile each size now
+        made, k = wave, 1
+        while k <= 512 and made + k <= args.requests:
+            warm.submit(make_requests(k, id0=made))
+            made += k
+            k *= 2
     warm.step()
     warm.poll()
     warm.dispatch()            # pipelined-path executables (final_lens copy)
@@ -135,11 +152,33 @@ def main():
     n_gen = 0
     t0 = time.perf_counter()
     made = 0
+
+    def feed_open_loop():
+        """Submit every request whose scheduled arrival time has passed,
+        in power-of-two batches (submit compiles per batch size; the warm
+        loop above compiled 1..512). Latency counts from the SCHEDULED
+        arrival, so backpressure delay is charged to the engine."""
+        nonlocal made
+        due = min(int((time.perf_counter() - t0) * args.arrival_rate),
+                  args.requests)
+        while made < due:
+            k = min(due - made, sess.free_capacity, 512)
+            if k <= 0:
+                break
+            k = 1 << (k.bit_length() - 1)
+            reqs = make_requests(k, id0=made)
+            for j, r in enumerate(reqs):
+                submit_t[r.id] = t0 + (made + j) / args.arrival_rate
+            sess.submit(reqs)
+            made += k
+
     if args.chunked:
         # legacy chunk-quantum loop (r3 shape): observation and admission
         # happen only at chunk boundaries
         while made < args.requests or len(done_t) < args.requests:
-            if made < args.requests:
+            if args.arrival_rate:
+                feed_open_loop()
+            elif made < args.requests:
                 reqs = make_requests(
                     min(wave, args.requests - made), id0=made)
                 now = time.perf_counter()
@@ -166,7 +205,9 @@ def main():
         submit_every = max(1, args.bursts_per_chunk)
         i = 0
         while made < args.requests or len(done_t) < args.requests:
-            if made < args.requests and i % submit_every == 0:
+            if args.arrival_rate:
+                feed_open_loop()
+            elif made < args.requests and i % submit_every == 0:
                 reqs = make_requests(
                     min(wave, args.requests - made), id0=made)
                 now = time.perf_counter()
@@ -199,6 +240,10 @@ def main():
         "seconds": round(wall, 3),
         "requests": args.requests,
         "arrival_waves": args.waves,
+        "mode": "chunked" if args.chunked else "pipelined",
+        "arrival_rate_req_s": args.arrival_rate,
+        "offered_tok_s": (round(args.arrival_rate * n_gen / args.requests, 1)
+                          if args.arrival_rate else None),
         "completion_latency_s": {
             "p50": round(float(np.quantile(lat, 0.5)), 3),
             "p90": round(float(np.quantile(lat, 0.9)), 3),
