@@ -251,6 +251,10 @@ def main():
             "dtype": args.dtype, "kv_dtype": args.kv_dtype or args.dtype,
             "attention": args.attention, "rounds": args.rounds,
             "engine": args.engine, "model": args.model,
+            "subbursts": engine_cfg.subbursts,
+            "overcommit": args.overcommit,
+            "attn_variant": ("dgrid" if args.attn_dgrid else
+                             "dense" if args.attn_dense else "default"),
             "device": str(jax.devices()[0]),
         },
     }

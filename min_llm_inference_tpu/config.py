@@ -121,6 +121,11 @@ class EngineConfig:
     # the contiguous-pages (autonomous) path; requires overcommit off and
     # unpacked KV (int8/float).
     attn_dgrid: bool = False
+    # dgrid group-block rows per grid step (None = auto, largest of
+    # 32/16/8/4/2/1 dividing the group count). Smaller blocks tighten the
+    # per-block max-width gate (fewer wasted page reads at mixed context
+    # lengths) at the cost of more grid steps.
+    dgrid_block: int | None = None
     # AutonomousEngine sub-bursts: run the admit->prefill->decode->flush
     # body this many times INSIDE one jitted burst (n_forward_rounds must
     # divide evenly). Finer admission granularity without extra host

@@ -651,6 +651,7 @@ def make_ring_round_callbacks(
                 v_scales[li] if quantized else None,
                 ring_start, lens, page_table,
                 n_heads=heads, page_size=P,
+                group_block=engine_cfg.dgrid_block,
                 interpret=interpret,
             )
         elif engine_cfg.attn_dense and contiguous_pages:
