@@ -59,12 +59,21 @@ def main():
     # at chunk boundaries, so serving trades a little dispatch efficiency
     # (more status-fetch RPCs) for admission/poll latency
     ap.add_argument("--bursts-per-chunk", type=int, default=6)
-    # pipelined mode (default): dispatch one burst at a time with async
-    # per-burst status/final_lens snapshots and observe completions
-    # observe-lag bursts later — burst-granular tails without queue-
-    # draining fetches (the r3 p90 == p99 == one-chunk signature)
-    ap.add_argument("--chunked", action="store_true",
-                    help="legacy chunk-quantum loop (step + fin-gated poll)")
+    # chunked mode (default): chunk-quantum loop (step + fin-gated poll).
+    # The per-burst pipelined observation path measured WORSE on BOTH axes
+    # in round 4 — saturation 211.4k/p99 330ms chunked vs 157.9k/472ms
+    # pipelined, provisioned capacity 132.5k/p50 99ms vs 102.3k/251ms —
+    # even after fusing its two per-burst d2h snapshots into one RPC: one
+    # status fetch per burst serializes behind the device queue ~6x more
+    # often than the chunk loop's fin-gated fetch. Kept for the
+    # observation-latency API (dispatch/observe/poll) and as the measured
+    # negative.
+    ap.add_argument("--chunked", dest="pipelined", action="store_false",
+                    help="(default) chunk-quantum loop")
+    ap.add_argument("--pipelined", dest="pipelined", action="store_true",
+                    help="per-burst dispatch/observe loop (measured worse; "
+                         "see above)")
+    ap.set_defaults(pipelined=False)
     ap.add_argument("--observe-lag", type=int, default=2)
     ap.add_argument("--subbursts", type=int, default=2,
                     help="in-burst admission granularity (see bench.py)")
@@ -172,7 +181,7 @@ def main():
             sess.submit(reqs)
             made += k
 
-    if args.chunked:
+    if not args.pipelined:
         # legacy chunk-quantum loop (r3 shape): observation and admission
         # happen only at chunk boundaries
         while made < args.requests or len(done_t) < args.requests:
@@ -240,7 +249,7 @@ def main():
         "seconds": round(wall, 3),
         "requests": args.requests,
         "arrival_waves": args.waves,
-        "mode": "chunked" if args.chunked else "pipelined",
+        "mode": "pipelined" if args.pipelined else "chunked",
         "arrival_rate_req_s": args.arrival_rate,
         "offered_tok_s": (round(args.arrival_rate * n_gen / args.requests, 1)
                           if args.arrival_rate else None),
