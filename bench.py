@@ -135,7 +135,13 @@ def main():
                          "rows; the gpt2s op-floor fix)")
     ap.add_argument("--attn-dgrid", action="store_true",
                     help="dense-grid Pallas page partial (block-pipelined "
-                         "pool stream over full-grant group rows)")
+                         "pool stream over full-grant group rows); default "
+                         "ON for gpt2s (same-session A/B: 7.35 vs 10.35 "
+                         "ms/round at len 32, still -17% at len 112), OFF "
+                         "for ref (424.6k vs 521.0k — the single-layer "
+                         "model is not op-issue bound)")
+    ap.add_argument("--no-attn-dgrid", action="store_true",
+                    help="force the grouped kernel on gpt2s")
     ap.add_argument("--overcommit", action="store_true",
                     help="half-group grants + growth + youngest-first "
                          "preemption (pair with a reduced --pages to "
@@ -173,7 +179,9 @@ def main():
         attn_group_size=args.attn_group,
         decode_ring=not args.no_ring,
         attn_dense=args.attn_dense,
-        attn_dgrid=args.attn_dgrid,
+        attn_dgrid=(args.attn_dgrid or
+                    (args.model == "gpt2s" and not args.no_attn_dgrid
+                     and not args.overcommit and not args.attn_dense)),
         subbursts=(args.subbursts if args.subbursts is not None
                    else (1 if args.model == "gpt2s" else 2)),
         overcommit=args.overcommit,
@@ -253,8 +261,9 @@ def main():
             "engine": args.engine, "model": args.model,
             "subbursts": engine_cfg.subbursts,
             "overcommit": args.overcommit,
-            "attn_variant": ("dgrid" if args.attn_dgrid else
-                             "dense" if args.attn_dense else "default"),
+            "attn_variant": ("dgrid" if engine_cfg.attn_dgrid else
+                             "dense" if engine_cfg.attn_dense else
+                             "default"),
             "device": str(jax.devices()[0]),
         },
     }

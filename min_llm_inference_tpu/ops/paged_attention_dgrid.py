@@ -45,8 +45,17 @@ GPU (paged_attention.cu); this formulation exists because the TPU-side
 allocator hands out whole aligned page groups, making the pool itself a
 dense tensor the hardware pipeline can stream.
 
-Measured numbers: see tools/attend_formulations.py output (ATTEND_r04
-artifact) and the gpt2s bench entry in CLAUDE.md once captured.
+MEASURED (round 4, one v5e chip): microbench (tools/attend_formulations
+.py, B=1024 slots, D=768, H=12, int8): 0.312 ms vs grouped 0.618 at
+1-page contexts, 0.332 vs 0.612 at 2-page — ~2x and FLAT in width (the
+gate works). Same-session full-burst A/B (tools/dgrid_ab.py, gpt2s,
+uniform lens): 7.35 vs 10.35 ms/round at len 32 (-29%), 9.21 vs 11.24 at
+72, 9.86 vs 11.93 at 112. dgrid_block=8 measured WORSE everywhere
+(10.96/13.08/14.27 — per-step fixed costs beat gate tightening; keep the
+auto 32). On the REF workload (single layer, emb 2048) dgrid LOSES:
+424.6k vs 521.0k same-day — that model is bandwidth/schedule bound, not
+op-issue bound, and the block max-width gate reads dead bytes the
+grouped kernel skips. Default: ON for gpt2s (bench.py), OFF for ref.
 """
 
 from __future__ import annotations
