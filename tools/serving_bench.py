@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--arrival-rate", type=float, default=None, metavar="REQ_S",
                     help="open-loop arrival rate (requests/second); "
                          "overrides --waves")
+    ap.add_argument("--trace", action="store_true",
+                    help="print per-iteration wall/made/finished lines "
+                         "(diagnosing loop stalls; adds host prints only)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -205,6 +208,10 @@ def main():
                 for r in sess.poll():
                     done_t[r.id] = now
                     n_gen += len(r.tokens) - r.prompt_len
+            if args.trace:
+                print(f"it wall={time.perf_counter()-t0:.3f} made={made} "
+                      f"fin={s['finished_total']} coll={len(done_t)} "
+                      f"live={s['live']}", flush=True)
     else:
         # pipelined loop: one burst per iteration; statuses/final_lens
         # snapshots stream back asynchronously and are read observe_lag
