@@ -142,6 +142,10 @@ def main():
                          "model is not op-issue bound)")
     ap.add_argument("--no-attn-dgrid", action="store_true",
                     help="force the grouped kernel on gpt2s")
+    ap.add_argument("--no-burst-flush", action="store_true",
+                    help="flush the decode ring per SUB-burst (round-4 "
+                         "behavior) instead of once per burst — A/B knob "
+                         "for the burst-wide ring")
     ap.add_argument("--overcommit", action="store_true",
                     help="half-group grants + growth + youngest-first "
                          "preemption (pair with a reduced --pages to "
@@ -184,6 +188,7 @@ def main():
                      and not args.overcommit and not args.attn_dense)),
         subbursts=(args.subbursts if args.subbursts is not None
                    else (1 if args.model == "gpt2s" else 2)),
+        burst_flush=not args.no_burst_flush,
         overcommit=args.overcommit,
     )
     rng = np.random.default_rng(0)

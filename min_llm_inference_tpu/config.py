@@ -135,6 +135,15 @@ class EngineConfig:
     # of R-1). Costs: the burst traces the body subbursts times (compile
     # time), and the ring flush + admission block run per sub-burst.
     subbursts: int = 1
+    # Ring mode x sub-bursts: True (default) sizes ONE ring for the whole
+    # burst and flushes it ONCE at burst end — per-slot ring_r0 (the
+    # absolute round a slot's occupant was admitted) masks pre-admission
+    # ring columns, so sub-burst admission no longer multiplies the
+    # per-layer flush cost (measured 73.2k -> 66.9k tok/s on the 12-layer
+    # model at subbursts=2 when the flush ran per sub-burst). False = the
+    # round-4 behavior: a fresh ring + flush per sub-burst (A/B fallback).
+    # No effect at subbursts=1 (one sub-burst IS the burst).
+    burst_flush: bool = True
     # AutonomousEngine overcommit: admit with HALF a slot's pages (a
     # half-group of pages_per_slot/2 contiguous pages), grow on demand with
     # an n_forward_rounds lookahead, preempt the YOUNGEST live slots when
@@ -215,3 +224,13 @@ class EngineConfig:
         assert self.subbursts >= 1 and (
             self.n_forward_rounds % self.subbursts == 0
         ), "subbursts must divide n_forward_rounds"
+        if self.decode_ring and self.kv_quantized:
+            # ring scale columns live in a [B, 128] buffer: cols r = K,
+            # 64 + r = V — the ring span is capped at 64 rounds
+            span = (self.n_forward_rounds
+                    if (self.burst_flush and self.subbursts > 1)
+                    else self.n_forward_rounds // self.subbursts)
+            assert span <= 64, (
+                f"ring span {span} rounds exceeds the 64-round scale-column "
+                "buffer (split with subbursts or disable burst_flush)"
+            )

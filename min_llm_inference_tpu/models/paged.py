@@ -556,6 +556,9 @@ def make_ring_round_callbacks(
     lengths,
     ring_start,       # [B] i32, fixed for the whole burst (burst-start len - 1)
     round_idx,        # [] i32 — ring column written this round
+    ring_r0=None,     # [B] i32 — first valid ring column per slot (the
+                      # absolute round its occupant was admitted; burst-wide
+                      # rings under sub-burst admission). None = column 0.
     n_heads=None,
     scale_reduce=None,
     contiguous_pages: bool = False,
@@ -703,13 +706,14 @@ def make_ring_round_callbacks(
             o_p, m_p, l_p, q, rings[li],
             ring_scs[li] if quantized else None,
             ring_start, lens, heads, engine_cfg.kv_packed,
+            ring_r0=ring_r0,
         ).astype(q.dtype)
 
     return write_kv, attend
 
 
 def merge_ring_partial(o_p, m_p, l_p, q, ring, ring_sc, ring_start, lens,
-                       heads, packed):
+                       heads, packed, ring_r0=None):
     """Merge the kernel's page-context online-softmax partial (o_p [B, D]
     normalized, m_p/l_p [B, H]) with the burst ring's contribution.
 
@@ -738,9 +742,17 @@ def merge_ring_partial(o_p, m_p, l_p, q, ring, ring_sc, ring_start, lens,
     kh = kd.reshape(B, R, heads, dh)
     vh = vd.reshape(B, R, heads, dh)
     s = jnp.einsum("brhd,bhd->bhr", kh, qh) * (dh ** -0.5)
-    # ring col r holds position ring_start + r, valid inside length
+    # ring col r holds position ring_start + (r - r0), valid inside length
+    # and only from the occupant's own first column r0 on (burst-wide rings
+    # under sub-burst admission: columns < r0 belong to a previous occupant)
     col = jnp.arange(R, dtype=jnp.int32)[None, None, :]
-    valid = (ring_start[:, None, None] + col) < lens[:, None, None]
+    if ring_r0 is None:
+        valid = (ring_start[:, None, None] + col) < lens[:, None, None]
+    else:
+        r0b = ring_r0[:, None, None]
+        valid = (col >= r0b) & (
+            (ring_start[:, None, None] - r0b + col) < lens[:, None, None]
+        )
     m_r = jnp.max(jnp.where(valid, s, -jnp.inf), axis=-1)   # [B, H]
     w = jnp.where(valid, jnp.exp(s - m_r[..., None]), 0.0)
     l_r = jnp.sum(w, axis=-1)
@@ -765,25 +777,30 @@ def merge_ring_partial(o_p, m_p, l_p, q, ring, ring_sc, ring_start, lens,
 
 
 def flush_ring_to_pages(pool, ring, ring_start, lengths, n_rounds,
-                        page_table, page_size, n_pages):
+                        page_table, page_size, n_pages, ring_r0=None):
     """Reference XLA formulation of the ring flush (gather both candidate
     pages, where-merge, window-scatter) — kept as the oracle for
     tests/test_ring_attention.py. Production uses ops/ring_flush.ring_flush
     (Pallas, in-place, touched-pages-only: this version moved ~4x the page
     bytes and measured 0.52 ms/round at ref bench shapes).
 
-    A live slot's valid ring rows r in [0, min(length - ring_start,
-    n_rounds)) hold positions ring_start + r, spanning at most two pages
-    (n_rounds <= page_size). Rows of slots DEAD at flush time are dropped:
-    their pages are freed at the next burst start and fully re-prefilled
-    before anything reads them (scales included — fresh pages reset their
-    scale positionally)."""
+    A live slot's valid ring rows r in [r0, r0 + min(length - ring_start,
+    n_rounds - r0)) hold positions ring_start + (r - r0), spanning at most
+    two pages (n_rounds <= page_size). ring_r0 (None = 0) is the slot
+    occupant's first valid column — burst-wide rings under sub-burst
+    admission start a mid-burst admittee's rows at its admission round.
+    Rows of slots DEAD at flush time are dropped: their pages are freed at
+    the next burst start and fully re-prefilled before anything reads them
+    (scales included — fresh pages reset their scale positionally)."""
     B, R, two_dk = ring.shape
     Dk = two_dk // 2
     NP_, _, P, _ = pool.shape
     W = page_table.shape[1]
     live = lengths > 0
-    nv = jnp.where(live, jnp.minimum(lengths - ring_start, n_rounds), 0)
+    r0 = (jnp.zeros_like(ring_start) if ring_r0 is None
+          else ring_r0.astype(ring_start.dtype))
+    nv = jnp.where(live,
+                   jnp.minimum(lengths - ring_start, n_rounds - r0), 0)
     p0 = jnp.clip(ring_start, 0, None) // P
     cand = p0[:, None] + jnp.arange(2, dtype=jnp.int32)[None, :]   # [B, 2]
     cand_ok = live[:, None] & (cand * P < (ring_start + nv)[:, None]) \
@@ -798,7 +815,7 @@ def flush_ring_to_pages(pool, ring, ring_start, lengths, n_rounds,
     prow = jnp.arange(P, dtype=jnp.int32)[None, None, :]
     r = cand[:, :, None] * P + prow - ring_start[:, None, None]  # [B, 2, P]
     use = (r >= 0) & (r < nv[:, None, None])
-    rc = jnp.clip(r, 0, R - 1).reshape(B, 2 * P, 1)
+    rc = jnp.clip(r + r0[:, None, None], 0, R - 1).reshape(B, 2 * P, 1)
 
     def merge(cur, side):
         rows = jnp.take_along_axis(

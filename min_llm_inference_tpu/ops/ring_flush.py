@@ -35,7 +35,7 @@ _G = 8  # slots per grid step
 
 
 def _flush_kernel(
-    rs_ref, lengths_ref, page_tbl_ref,   # scalar prefetch
+    rs_ref, r0_ref, lengths_ref, page_tbl_ref,   # scalar prefetch
     ring_ref,                            # [G, R, 2*Dk] VMEM block
     pages_hbm,                           # ANY (aliased input)
     pages_out,                           # ANY (aliased output)
@@ -55,14 +55,15 @@ def _flush_kernel(
         slot = g * G + j
         ln = lengths_ref[slot]
         rs = rs_ref[slot]
-        end = rs + jnp.minimum(ln - rs, n_rounds)   # exclusive flush bound
+        r0 = r0_ref[slot]   # first valid ring column (admission round)
+        end = rs + jnp.minimum(ln - rs, n_rounds - r0)  # exclusive bound
         out = []
         for t in range(2):
             w = rs // P + t
             pid = page_tbl_ref[slot, jnp.clip(w, 0, W - 1)]
             cond = (ln > 0) & (w * P < end) & (w < W)
             out.append((cond, t, w, pid))
-        return rs, end, out
+        return rs, r0, end, out
 
     def fetch_copy(j, t, pid):
         return pltpu.make_async_copy(
@@ -75,13 +76,13 @@ def _flush_kernel(
         )
 
     for j in range(G):
-        _, _, items = slot_items(j)
+        _, _, _, items = slot_items(j)
         for cond, t, w, pid in items:
             @pl.when(cond)
             def _start(j=j, t=t, pid=pid):
                 fetch_copy(j, t, pid).start()
     for j in range(G):
-        _, _, items = slot_items(j)
+        _, _, _, items = slot_items(j)
         for cond, t, w, pid in items:
             @pl.when(cond)
             def _wait(j=j, t=t, pid=pid):
@@ -89,8 +90,9 @@ def _flush_kernel(
 
     prow = lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     for j in range(G):
-        rs, end, items = slot_items(j)
-        shift = jnp.remainder(rs, P)
+        rs, r0, end, items = slot_items(j)
+        # align ring row (pos - rs + r0) under page row pos % P
+        shift = jnp.remainder(rs - r0, P)
         any_touch = items[0][0] | items[1][0]
 
         @pl.when(any_touch)
@@ -118,7 +120,7 @@ def _flush_kernel(
             def _wb(j=j, t=t, pid=pid):
                 wb_copy(j, t, pid).start()
     for j in range(G):
-        _, _, items = slot_items(j)
+        _, _, _, items = slot_items(j)
         for cond, t, w, pid in items:
             @pl.when(cond)
             def _wbwait(j=j, t=t, pid=pid):
@@ -127,14 +129,19 @@ def _flush_kernel(
 
 @functools.partial(jax.jit, static_argnames=("n_rounds", "interpret"))
 def ring_flush(kv_pages, ring, ring_start, lengths, page_table, *,
-               n_rounds: int, interpret: bool = False):
+               n_rounds: int, ring_r0=None, interpret: bool = False):
     """kv_pages: [NP, 2, P, Dk] (returned updated, aliased in-place);
     ring: [B, R, 2*Dk] (cols :Dk = K, Dk: = V); ring_start/lengths: [B] i32;
-    page_table: [B, W]."""
+    page_table: [B, W]; ring_r0: [B] i32 first valid ring column per slot
+    (None = 0 — single-admission rings). A slot's rows live at columns
+    r0 + (pos - ring_start) for pos in [ring_start, ring_start +
+    min(length - ring_start, n_rounds - r0))."""
     NP, two, P, Dk = kv_pages.shape
     B, R, two_dk = ring.shape
     assert two == 2 and two_dk == 2 * Dk
     assert R <= P, "ring must fit one page (n_forward_rounds <= page_size)"
+    if ring_r0 is None:
+        ring_r0 = jnp.zeros((B,), jnp.int32)
     pad = (-B) % _G
     if pad:
         # pad rows are dead (length 0): no fetch, no insert, no write-back
@@ -142,6 +149,8 @@ def ring_flush(kv_pages, ring, ring_start, lengths, page_table, *,
             [ring, jnp.zeros((pad, R, two_dk), ring.dtype)])
         ring_start = jnp.concatenate(
             [ring_start, jnp.zeros((pad,), ring_start.dtype)])
+        ring_r0 = jnp.concatenate(
+            [ring_r0, jnp.zeros((pad,), ring_r0.dtype)])
         lengths = jnp.concatenate(
             [lengths, jnp.zeros((pad,), lengths.dtype)])
         page_table = jnp.concatenate(
@@ -153,7 +162,7 @@ def ring_flush(kv_pages, ring, ring_start, lengths, page_table, *,
     return pl.pallas_call(
         functools.partial(_flush_kernel, n_rounds=n_rounds, page_size=P),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             in_specs=[
                 pl.BlockSpec((_G, R, two_dk), lambda g, *_: (g, 0, 0)),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -167,9 +176,9 @@ def ring_flush(kv_pages, ring, ring_start, lengths, page_table, *,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct(kv_pages.shape, kv_pages.dtype),
-        input_output_aliases={4: 0},  # 3 scalar operands + ring -> kv_pages
+        input_output_aliases={5: 0},  # 4 scalar operands + ring -> kv_pages
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
-    )(ring_start, lengths, page_table, ring, kv_pages)
+    )(ring_start, ring_r0, lengths, page_table, ring, kv_pages)

@@ -263,7 +263,8 @@ def _overcommit_admission(engine_cfg: EngineConfig, max_new: int, R: int,
     oc_state = dict(grown=grown, adm_seq=adm_seq, seq_ctr=seq_ctr,
                     retry_stack=retry_stack, retry_top=retry_top)
     return (page_table, lengths, last_tokens, rid, allocated, queue_head,
-            free_top, page_stack, granted, plens, prompts, m, oc_state)
+            free_top, page_stack, granted, plens, prompts, m, slot_ids,
+            oc_state)
 
 
 def _autonomous_burst(
@@ -282,17 +283,49 @@ def _autonomous_burst(
     n_real,        # [] i32 — actual request count (R_cap is padding)
 ):
     """One jitted burst: ``subbursts`` trace-unrolled repetitions of the
-    admit -> prefill -> decode-scan -> flush body. Splitting the rounds
-    across sub-bursts refills dead slots every R/subbursts rounds instead
-    of every R — the slot-round efficiency fix schedule_sim predicts
+    admit -> prefill -> decode-scan body. Splitting the rounds across
+    sub-bursts refills dead slots every R/subbursts rounds instead of
+    every R — the slot-round efficiency fix schedule_sim predicts
     (0.628 -> 0.721 at ref shapes for 16 = 4x4) — while the host still
-    pays ONE dispatch and one status fetch per burst."""
+    pays ONE dispatch and one status fetch per burst.
+
+    Ring flushing (burst_flush=True, the default): ONE ring sized for the
+    full burst rides across the sub-bursts and lands in the pages once at
+    burst end. Ring columns are indexed by ABSOLUTE round; a slot admitted
+    at sub-burst k starts writing at column r0 = k * r_sub (ring_r0,
+    threaded to the merge/flush masks). This is what lets sub-burst
+    admission pay ZERO extra flushes — the per-sub-burst flush doubled the
+    12-layer model's flush cost and ate the schedule win (73.2k -> 66.9k
+    tok/s measured, round 4). burst_flush=False keeps the round-4
+    fresh-ring-per-sub-burst behavior for A/B."""
     n_sub = engine_cfg.subbursts
     r_sub = engine_cfg.n_forward_rounds // n_sub
-    for _ in range(n_sub):
-        st, status = _sub_burst(
+    use_ring = engine_cfg.decode_ring and attention_impl == "grouped"
+    burst_ring = use_ring and engine_cfg.burst_flush and n_sub > 1
+    ring_ctx = None
+    if burst_ring:
+        B = engine_cfg.n_slots
+        feat_loc = st.kv.kv_pages[0].shape[-1]
+        R_pad = ring_pad_rows(engine_cfg.n_forward_rounds)
+        rings = tuple(
+            jnp.zeros((B, R_pad, 2 * feat_loc), engine_cfg.kv_jax_dtype)
+            for _ in range(model_cfg.n_layers)
+        )
+        ring_scs = tuple(
+            jnp.zeros((B, 128), jnp.float32)
+            for _ in range(model_cfg.n_layers)
+        ) if engine_cfg.kv_quantized else ()
+        # slots live at burst start: first new position = length - 1,
+        # first ring column = 0; admissions overwrite their slots' entries
+        ring_ctx = (rings, ring_scs,
+                    jnp.maximum(st.lengths - 1, 0),
+                    jnp.zeros(B, jnp.int32))
+    for k in range(n_sub):
+        st, status, ring_ctx = _sub_burst(
             model_cfg, engine_cfg, attention_impl, max_new, sampling,
-            ablate, ctx, r_sub, params, st, prompts_all, plens_all, n_real,
+            ablate, ctx, r_sub, k * r_sub, ring_ctx,
+            (not burst_ring) or (k == n_sub - 1),
+            params, st, prompts_all, plens_all, n_real,
         )
     return st, status
 
@@ -306,6 +339,10 @@ def _sub_burst(
     ablate,
     ctx,
     R,             # decode rounds THIS sub-burst (n_forward_rounds/subbursts)
+    round_offset,  # absolute round of this sub-burst's first decode round
+    ring_ctx,      # (rings, ring_scs, ring_start, ring_r0) threaded across
+                   # sub-bursts (burst_flush), or None (per-sub-burst ring)
+    do_flush,      # flush the ring to pages at the end of this sub-burst
     params,
     st: AutoState,
     prompts_all,
@@ -324,7 +361,7 @@ def _sub_burst(
         # half-grant admission with growth + youngest-first preemption +
         # device retry stack (see _overcommit_admission)
         (page_table, lengths, last_tokens, rid, allocated, queue_head,
-         free_top, page_stack, granted, plens, prompts, m, oc) = \
+         free_top, page_stack, granted, plens, prompts, m, slot_ids, oc) = \
             _overcommit_admission(engine_cfg, max_new, R, st, prompts_all,
                                   plens_all, n_real)
     else:
@@ -430,8 +467,21 @@ def _sub_burst(
     # token for freshly admitted slots — whose page row the flush then
     # overwrites with the identical bytes prefill wrote).
     use_ring = engine_cfg.decode_ring and attention_impl == "grouped"
-    if use_ring:
+    if ring_ctx is not None:
+        # burst-wide ring threaded across sub-bursts (burst_flush): mark
+        # this sub-burst's admittees — their rows start at THIS sub-burst's
+        # first absolute round; pre-admission columns hold a previous
+        # occupant's data and are masked by ring_r0 in merge and flush
+        assert use_ring
+        rings0, ring_scs0, ring_start, ring_r0 = ring_ctx
+        ring_start = ring_start.at[slot_ids].set(
+            jnp.maximum(plens - 1, 0), mode="drop")
+        ring_r0 = ring_r0.at[slot_ids].set(
+            jnp.asarray(round_offset, jnp.int32), mode="drop")
+        flush_rounds = engine_cfg.n_forward_rounds
+    elif use_ring:
         ring_start = jnp.maximum(lengths - 1, 0)
+        ring_r0 = None
         feat_loc = kv.kv_pages[0].shape[-1]   # local width under tp
         R_pad = ring_pad_rows(R)
         rings0 = tuple(
@@ -442,8 +492,10 @@ def _sub_burst(
             jnp.zeros((B, 128), jnp.float32)
             for _ in range(model_cfg.n_layers)
         ) if engine_cfg.kv_quantized else ()
+        flush_rounds = R
     else:
         rings0 = ring_scs0 = ()
+        ring_r0 = None
 
     # In ring mode the pools are LOOP-INVARIANT across the decode scan
     # (read-only in the kernel; updated once by the flush) — close over
@@ -463,7 +515,7 @@ def _sub_burst(
             write_kv, attend = make_ring_round_callbacks(
                 model_cfg, engine_cfg, page_table,
                 kv_pages, k_scales, v_scales, rings_l, ring_scs_l, lengths,
-                ring_start, r_idx,
+                ring_start, r_idx, ring_r0=ring_r0,
                 n_heads=ctx.local_heads(model_cfg),
                 scale_reduce=scale_reduce,
                 contiguous_pages=True,
@@ -513,14 +565,18 @@ def _sub_burst(
                 new_last, key), (tok, out_idx, fin_rid, lengths + 1)
 
     def run_rounds(carry):
-        (kv, lengths, last, key, out_tokens, final_lens) = carry
+        (kv, rings_in, ring_scs_in, lengths, last, key,
+         out_tokens, final_lens) = carry
         kv_in = kv._replace(kv_pages=()) if use_ring else kv
-        ((kv, rings, _, lengths, last, key),
+        # ring columns: ABSOLUTE round under the burst-wide ring, local
+        # round (0-based) when each sub-burst gets a fresh ring
+        col_base = round_offset if ring_ctx is not None else 0
+        ((kv, rings, ring_scs, lengths, last, key),
          (toks, out_idx, fin_rid, fin_len)) = jax.lax.scan(
-            round_fn, (kv_in, rings0, ring_scs0, lengths, last, key),
-            jnp.arange(R, dtype=jnp.int32),
+            round_fn, (kv_in, rings_in, ring_scs_in, lengths, last, key),
+            jnp.arange(col_base, col_base + R, dtype=jnp.int32),
         )
-        if use_ring:
+        if use_ring and do_flush:
             from ..ops.ring_flush import ring_flush
 
             interp = jax.default_backend() == "cpu"
@@ -530,11 +586,15 @@ def _sub_burst(
                 kvp = tuple(
                     ring_flush(
                         pool, rg, ring_start, lengths, page_table,
-                        n_rounds=R, interpret=interp,
+                        n_rounds=flush_rounds, ring_r0=ring_r0,
+                        interpret=interp,
                     )
                     for pool, rg in zip(pools_const, rings)
                 )
             kv = PagedKVState(kvp, kv.k_scales, kv.v_scales)
+        elif use_ring:
+            # burst_flush: pools untouched until the final sub-burst's flush
+            kv = PagedKVState(pools_const, kv.k_scales, kv.v_scales)
         out_tokens = (
             out_tokens.reshape(-1)
             .at[out_idx.reshape(-1)].set(toks.reshape(-1), mode="drop")
@@ -543,15 +603,22 @@ def _sub_burst(
         final_lens = final_lens.at[fin_rid.reshape(-1)].set(
             fin_len.reshape(-1), mode="drop"
         )
-        return (kv, lengths, last, key, out_tokens, final_lens)
+        return (kv, rings, ring_scs, lengths, last, key,
+                out_tokens, final_lens)
 
     # chunked dispatch overshoots past completion by up to chunk-1 bursts;
     # skip the whole decode scan when no slot is live so those cost ~nothing
-    (kv, lengths, last_tokens, rng_key, out_tokens, final_lens) = jax.lax.cond(
+    (kv, rings_f, ring_scs_f, lengths, last_tokens, rng_key, out_tokens,
+     final_lens) = jax.lax.cond(
         jnp.any(lengths > 0),
         run_rounds,
         lambda c: c,
-        (kv, lengths, last_tokens, st.rng_key, st.out_tokens, st.final_lens),
+        (kv, rings0, ring_scs0, lengths, last_tokens, st.rng_key,
+         st.out_tokens, st.final_lens),
+    )
+    ring_ctx_out = (
+        None if ring_ctx is None
+        else (rings_f, ring_scs_f, ring_start, ring_r0)
     )
 
     new_st = AutoState(
@@ -569,7 +636,7 @@ def _sub_burst(
         # queue-serialized) poll fetch on actual completions
         jnp.sum(final_lens > 0).astype(jnp.int32),
     ])
-    return new_st, status
+    return new_st, status, ring_ctx_out
 
 
 @functools.lru_cache(maxsize=None)

@@ -164,6 +164,65 @@ def test_autonomous_subbursts_match_single(params, rng):
         assert stores[1].finished[i].tokens == stores[4].finished[i].tokens, i
 
 
+def test_autonomous_burst_flush_modes_match(rng):
+    """The burst-wide ring with ONE end-of-burst flush (burst_flush=True,
+    per-slot ring_r0 masking pre-admission columns) must be token-exact
+    with the round-4 per-sub-burst flush AND with subbursts=1 — on a
+    multi-layer model with int8 KV, where mid-burst slot turnover makes a
+    re-admitted slot's early ring columns hold a previous occupant's
+    quantized rows (the case ring_r0 exists for)."""
+    model = ModelConfig(n_vocab=256, emb_dim=32, n_seq=64, n_layers=2,
+                        n_heads=2, ffn_dim=64, use_output_proj=True,
+                        use_layernorm=True, eof_token_id=255)
+    params2 = init_params(jax.random.PRNGKey(1), model, eof_bias=0.3)
+    n = 24
+    base = make_store(rng, n, model.eof_token_id)
+    stores = {}
+    for sub, bflush in ((1, True), (4, True), (4, False), (2, True)):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=4,
+            subbursts=sub, burst_flush=bflush, kv_dtype="int8",
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        AutonomousEngine(params2, model, cfg,
+                         attention_impl="grouped").run(s)
+        stores[(sub, bflush)] = s
+    ref = stores[(1, True)]
+    assert len(ref.finished) == n
+    for key, s in stores.items():
+        for i in range(n):
+            assert s.finished[i].tokens == ref.finished[i].tokens, (key, i)
+
+
+def test_autonomous_burst_flush_dgrid_match(params, rng):
+    """burst_flush composes with the dgrid attend (the gpt2s bench
+    config): token-exact vs the jnp oracle engine under sub-burst
+    admission."""
+    n = 16
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for dgrid in (False, True):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=4,
+            subbursts=2, kv_dtype="int8", attn_dgrid=dgrid,
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        impl = "grouped" if dgrid else "jnp"
+        AutonomousEngine(params, MODEL, cfg,
+                         attention_impl=impl).run(s)
+        stores[dgrid] = s
+    assert len(stores[True].finished) == n
+    for i in range(n):
+        assert stores[False].finished[i].tokens == \
+            stores[True].finished[i].tokens, i
+
+
 def test_autonomous_subbursts_overcommit_match(params, rng):
     """Sub-bursts compose with overcommit: growth lookahead shrinks to the
     sub-burst rounds and admission/preemption run per sub-burst."""

@@ -182,3 +182,57 @@ def test_overcommit_multilayer_int8():
     )
     for rid in want:
         assert got[rid] == want[rid], f"request {rid} diverged"
+
+
+def test_overcommit_streaming_session_token_exact():
+    """StreamingSession x overcommit: the oversubscribed-pool regime is
+    precisely where online serving needs overcommit (the reference's paged
+    scheduler exists for it, paged_item_storage.cpp:14-60). Requests
+    arrive in waves under pool pressure (growth + preemption + the device
+    retry stack all active) and every output must be token-exact vs an
+    uncontended one-shot run."""
+    from min_llm_inference_tpu import StreamingSession
+
+    model_cfg = _mk_model()
+    rng = np.random.default_rng(5)
+    params = init_params(jax.random.PRNGKey(5), model_cfg)
+    n = 28
+    requests = _run_requests(rng, n, 20, model_cfg)
+
+    # uncontended oracle (full-grant pool, one-shot)
+    oracle_cfg = EngineConfig(
+        n_slots=8, n_pages=32, page_size=16, n_forward_rounds=4,
+        init_num_pages=2, max_prefill_batch=8,
+    )
+    want = _engine_outputs(
+        AutonomousEngine(params, model_cfg, oracle_cfg,
+                         attention_impl="grouped"),
+        requests,
+    )
+
+    # 75%-of-full pool + overcommit, streaming arrivals
+    cfg = EngineConfig(
+        n_slots=8, n_pages=24, page_size=16, n_forward_rounds=4,
+        init_num_pages=2, max_prefill_batch=8, overcommit=True,
+    )
+    eng = AutonomousEngine(params, model_cfg, cfg,
+                           attention_impl="grouped",
+                           max_new_per_burst=8, bursts_per_chunk=2)
+    sess = StreamingSession(eng, capacity=12, max_prompt_len=32)
+    done = {}
+    submitted = 0
+    guard = 0
+    while len(done) < n:
+        k = min(sess.free_capacity, n - submitted, 5)
+        if k:
+            sess.submit([Request(r.id, list(r.tokens))
+                         for r in requests[submitted:submitted + k]])
+            submitted += k
+        sess.step()
+        for r in sess.poll():
+            done[r.id] = r.tokens
+        guard += 1
+        assert guard < 500, "overcommit streaming made no progress"
+    assert sess.n_submitted == n > 12  # rows recycled under pressure
+    for rid in want:
+        assert done[rid] == want[rid], f"request {rid} diverged"

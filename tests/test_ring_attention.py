@@ -228,6 +228,90 @@ def test_flush_ring_to_pages_matches_rowwise_reference():
     np.testing.assert_array_equal(got, want)
 
 
+def test_ring_flush_ring_r0_matches_rowwise_reference():
+    """Burst-wide rings under sub-burst admission: a slot admitted at
+    absolute round r0 has valid ring columns [r0, r0 + nv) holding
+    positions ring_start + (col - r0); columns < r0 belong to a PREVIOUS
+    occupant and must not be flushed. Pallas kernel and XLA oracle vs a
+    rowwise python reference, junk in the pre-admission columns."""
+    from min_llm_inference_tpu.models.paged import flush_ring_to_pages
+    from min_llm_inference_tpu.ops.ring_flush import ring_flush
+
+    rng = np.random.default_rng(11)
+    B, P, W, NP, Dk, R = 8, 8, 4, 32, 128, 8
+    n_rounds = 8
+    pool = rng.integers(-100, 100, (NP, 2, P, Dk)).astype(np.int8)
+    ring = rng.integers(-100, 100, (B, R, 2 * Dk)).astype(np.int8)
+    perm = rng.permutation(NP)[: B * W].reshape(B, W).astype(np.int32)
+    # mid-burst admittees (r0 4, 6), burst-start slots (r0 0), a dead slot,
+    # an admittee whose span straddles a page boundary, one at the cap
+    lengths = np.array([7, 9, 0, 17, 6, 32, 3, 12], np.int32)
+    rs = np.array([3, 5, 2, 11, 4, 26, 2, 9], np.int32)
+    r0 = np.array([0, 4, 3, 6, 4, 2, 6, 0], np.int32)
+    # slot 3 overruns its column span (lengths - rs > n_rounds - r0): the
+    # flush must clamp to the columns that exist, exactly like a slot that
+    # ran to the end of the burst (its final emitted token has no KV yet)
+    assert lengths[3] - rs[3] > n_rounds - r0[3]
+
+    got_pl = np.asarray(ring_flush(
+        jnp.asarray(pool), jnp.asarray(ring), jnp.asarray(rs),
+        jnp.asarray(lengths), jnp.asarray(perm),
+        n_rounds=n_rounds, ring_r0=jnp.asarray(r0), interpret=True,
+    ))
+    got_xla = np.asarray(flush_ring_to_pages(
+        jnp.asarray(pool), jnp.asarray(ring), jnp.asarray(rs),
+        jnp.asarray(lengths), n_rounds, jnp.asarray(perm), P, NP,
+        ring_r0=jnp.asarray(r0),
+    ))
+
+    want = pool.copy()
+    for b in range(B):
+        if lengths[b] == 0:
+            continue
+        nv = min(int(lengths[b] - rs[b]), n_rounds - int(r0[b]))
+        for r in range(nv):
+            pos = int(rs[b]) + r
+            pg = perm[b, pos // P]
+            want[pg, 0, pos % P] = ring[b, int(r0[b]) + r, :Dk]
+            want[pg, 1, pos % P] = ring[b, int(r0[b]) + r, Dk:]
+    np.testing.assert_array_equal(got_xla, want)
+    np.testing.assert_array_equal(got_pl, want)
+
+
+def test_merge_ring_partial_masks_pre_admission_columns():
+    """merge_ring_partial(ring_r0=...) must ignore ring columns < r0 (a
+    previous occupant's rows): junk there cannot change the output."""
+    from min_llm_inference_tpu.models.paged import merge_ring_partial
+
+    rng = np.random.default_rng(13)
+    B, H, D, R = 4, 2, 64, 8
+    q = jnp.asarray(rng.standard_normal((B, D)), jnp.float32)
+    ring = rng.standard_normal((B, R, 2 * D)).astype(np.float32)
+    lengths = jnp.asarray([6, 9, 0, 4], jnp.int32)
+    rs = jnp.asarray([2, 5, 0, 3], jnp.int32)
+    r0 = np.array([3, 0, 2, 6], np.int32)
+    # empty page partial (all mass in the ring)
+    o_p = jnp.zeros((B, D), jnp.float32)
+    m_p = jnp.full((B, H), -jnp.inf)
+    l_p = jnp.zeros((B, H), jnp.float32)
+
+    def run(rg):
+        return np.asarray(merge_ring_partial(
+            o_p, m_p, l_p, q, jnp.asarray(rg), None, rs, lengths, H,
+            False, ring_r0=jnp.asarray(r0)))
+
+    base = run(ring)
+    poisoned = ring.copy()
+    for b in range(B):
+        poisoned[b, : r0[b]] = 1e9   # junk strictly below each slot's r0
+    np.testing.assert_array_equal(base, run(poisoned))
+    # sanity: junk INSIDE the valid span must change live rows (mask is
+    # tight, not over-wide) — slot 1 has valid cols [0, lengths-rs)
+    poisoned2 = ring.copy()
+    poisoned2[1, 1] = 1e9
+    assert not np.allclose(base[1], run(poisoned2)[1])
+
+
 def test_pallas_ring_flush_matches_xla_oracle():
     from min_llm_inference_tpu.models.paged import flush_ring_to_pages
     from min_llm_inference_tpu.ops.ring_flush import ring_flush

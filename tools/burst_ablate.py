@@ -73,6 +73,24 @@ def main():
     ap.add_argument("--no-ring", action="store_true",
                     help="per-round fused write-backs instead of the ring")
     ap.add_argument("--model", default="ref", choices=["ref", "gpt2s"])
+    ap.add_argument("--attn-dgrid", action="store_true",
+                    help="profile the dense-grid Pallas attend (the gpt2s "
+                         "bench default) instead of the grouped kernel")
+    ap.add_argument("--attn-dense", action="store_true",
+                    help="profile the dense-view XLA attend")
+    ap.add_argument("--subbursts", type=int, default=1,
+                    help="in-burst admission granularity (the queue here "
+                         "is drained, so this isolates the fixed cost of "
+                         "extra admission/prefill/flush blocks)")
+    ap.add_argument("--no-burst-flush", action="store_true",
+                    help="flush the ring per sub-burst (round-4 behavior) "
+                         "instead of once per burst")
+    ap.add_argument("--page-size", type=int, default=32)
+    ap.add_argument("--kv-dtype", default="int8")
+    ap.add_argument("--only", default=None,
+                    help="semicolon-separated subset of ablations to run "
+                         "('' = full burst only); each ablation is its own "
+                         "remote compile, so restrict when iterating")
     args = ap.parse_args()
 
     B, NP, S, D = args.slots, args.pages, args.seq, args.emb
@@ -85,9 +103,12 @@ def main():
     else:
         model = ModelConfig(n_vocab=1024, emb_dim=D, n_seq=S,
                             eof_token_id=1023, dtype="bfloat16")
-    cfg = EngineConfig(n_slots=B, n_pages=NP, page_size=32,
-                       kv_dtype="int8", n_forward_rounds=args.rounds,
-                       decode_ring=not args.no_ring)
+    cfg = EngineConfig(n_slots=B, n_pages=NP, page_size=args.page_size,
+                       kv_dtype=args.kv_dtype, n_forward_rounds=args.rounds,
+                       decode_ring=not args.no_ring,
+                       attn_dgrid=args.attn_dgrid, attn_dense=args.attn_dense,
+                       subbursts=args.subbursts,
+                       burst_flush=not args.no_burst_flush)
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":
         params = fuse_qkv_params(init_params(jax.random.PRNGKey(0), model))
@@ -146,14 +167,23 @@ def main():
         vals.sort()
         return vals[len(vals) // 2], vals[0], vals[-1]
 
+    variant = ("dgrid" if args.attn_dgrid else
+               "dense" if args.attn_dense else "grouped")
     print(f"B={B} live={args.live} len={args.ctx_len} "
-          f"attn={args.attention} rounds={args.rounds}", flush=True)
+          f"attn={args.attention}/{variant} rounds={args.rounds} "
+          f"subbursts={args.subbursts} "
+          f"burst_flush={not args.no_burst_flush}", flush=True)
+    ablations = (ABLATIONS if args.only is None
+                 else args.only.split(";"))
     base = None
-    for ab in ABLATIONS:
+    for ab in ablations:
         med, lo, hi = (x * 1e3 for x in measure(ab))
         name = "full burst" if ab == "" else "-" + ab
         if ab == "":
             base = med
+            print(f"{name:<28s}: {med:7.3f} ms/round "
+                  f"[{lo:.3f},{hi:.3f}]", flush=True)
+        elif base is None:
             print(f"{name:<28s}: {med:7.3f} ms/round "
                   f"[{lo:.3f},{hi:.3f}]", flush=True)
         else:

@@ -77,6 +77,11 @@ def main():
     ap.add_argument("--observe-lag", type=int, default=2)
     ap.add_argument("--subbursts", type=int, default=2,
                     help="in-burst admission granularity (see bench.py)")
+    ap.add_argument("--overcommit", action="store_true",
+                    help="half-group grants + growth + youngest-first "
+                         "preemption — pair with a reduced --pages for the "
+                         "oversubscribed-pool serving regime the reference's "
+                         "paged scheduler exists for")
     # open-loop arrivals: requests become available at fixed rate lambda
     # (req/s) on a virtual clock; latency is measured from the SCHEDULED
     # arrival time, the standard serving-bench convention. The closed-loop
@@ -100,7 +105,7 @@ def main():
     engine_cfg = EngineConfig(
         n_slots=args.slots, n_pages=args.pages, page_size=32,
         n_forward_rounds=args.rounds, kv_dtype=args.kv_dtype,
-        subbursts=args.subbursts,
+        subbursts=args.subbursts, overcommit=args.overcommit,
     )
     # bench.py's uniform(0,1) weights with the EOF row scaled so sequences
     # terminate like the reference profile workload
@@ -268,7 +273,10 @@ def main():
         "config": {
             "slots": args.slots, "pages": args.pages, "seq": args.seq,
             "emb": args.emb, "kv_dtype": args.kv_dtype,
-            "rounds": args.rounds, "device": str(jax.devices()[0]),
+            "rounds": args.rounds, "subbursts": args.subbursts,
+            "bursts_per_chunk": args.bursts_per_chunk,
+            "overcommit": args.overcommit,
+            "device": str(jax.devices()[0]),
         },
     }
     line = json.dumps(result)
