@@ -142,6 +142,15 @@ def main():
                          "model is not op-issue bound)")
     ap.add_argument("--no-attn-dgrid", action="store_true",
                     help="force the grouped kernel on gpt2s")
+    ap.add_argument("--sort-admits", action="store_true",
+                    help="sort each admission wave by prompt length so "
+                         "dgrid group blocks are width-homogeneous "
+                         "(see config.sort_admits)")
+    ap.add_argument("--no-sort-admits", action="store_true")
+    ap.add_argument("--dgrid-block", type=int, default=None,
+                    help="dgrid group-block rows per grid step (default "
+                         "auto = 32 at bench shapes); smaller blocks gate "
+                         "page reads at finer length granularity")
     ap.add_argument("--no-burst-flush", action="store_true",
                     help="flush the decode ring per SUB-burst (round-4 "
                          "behavior) instead of once per burst — A/B knob "
@@ -186,6 +195,8 @@ def main():
         attn_dgrid=(args.attn_dgrid or
                     (args.model == "gpt2s" and not args.no_attn_dgrid
                      and not args.overcommit and not args.attn_dense)),
+        dgrid_block=args.dgrid_block,
+        sort_admits=args.sort_admits and not args.no_sort_admits,
         subbursts=(args.subbursts if args.subbursts is not None
                    else (1 if args.model == "gpt2s" else 2)),
         burst_flush=not args.no_burst_flush,

@@ -144,6 +144,16 @@ class EngineConfig:
     # round-4 behavior: a fresh ring + flush per sub-burst (A/B fallback).
     # No effect at subbursts=1 (one sub-burst IS the burst).
     burst_flush: bool = True
+    # Sort each admission wave by prompt length before assigning slots and
+    # page groups (full-grant path only). Greedy determinism makes the
+    # slot/group permutation output-invisible; the point is LENGTH
+    # CLUSTERING: the dgrid kernel gates page streaming per group BLOCK at
+    # the block's max context width, so a wave of random-length prompts
+    # scattered across blocks makes every block pay the widest slot's
+    # reads forever (and keeps blocks half-alive through the drain).
+    # Sorted admission gives width-homogeneous blocks that also die
+    # together. No effect on the grouped kernel's per-slot gating.
+    sort_admits: bool = False
     # AutonomousEngine overcommit: admit with HALF a slot's pages (a
     # half-group of pages_per_slot/2 contiguous pages), grow on demand with
     # an n_forward_rounds lookahead, preempt the YOUNGEST live slots when

@@ -302,32 +302,68 @@ def _autonomous_burst(
     r_sub = engine_cfg.n_forward_rounds // n_sub
     use_ring = engine_cfg.decode_ring and attention_impl == "grouped"
     burst_ring = use_ring and engine_cfg.burst_flush and n_sub > 1
-    ring_ctx = None
-    if burst_ring:
-        B = engine_cfg.n_slots
-        feat_loc = st.kv.kv_pages[0].shape[-1]
-        R_pad = ring_pad_rows(engine_cfg.n_forward_rounds)
-        rings = tuple(
-            jnp.zeros((B, R_pad, 2 * feat_loc), engine_cfg.kv_jax_dtype)
-            for _ in range(model_cfg.n_layers)
-        )
-        ring_scs = tuple(
-            jnp.zeros((B, 128), jnp.float32)
-            for _ in range(model_cfg.n_layers)
-        ) if engine_cfg.kv_quantized else ()
-        # slots live at burst start: first new position = length - 1,
-        # first ring column = 0; admissions overwrite their slots' entries
-        ring_ctx = (rings, ring_scs,
-                    jnp.maximum(st.lengths - 1, 0),
-                    jnp.zeros(B, jnp.int32))
-    for k in range(n_sub):
-        st, status, ring_ctx = _sub_burst(
-            model_cfg, engine_cfg, attention_impl, max_new, sampling,
-            ablate, ctx, r_sub, k * r_sub, ring_ctx,
-            (not burst_ring) or (k == n_sub - 1),
-            params, st, prompts_all, plens_all, n_real,
-        )
-    return st, status
+
+    def run_subbursts(st: AutoState):
+        ring_ctx = None
+        if burst_ring:
+            B = engine_cfg.n_slots
+            feat_loc = st.kv.kv_pages[0].shape[-1]
+            R_pad = ring_pad_rows(engine_cfg.n_forward_rounds)
+            rings = tuple(
+                jnp.zeros((B, R_pad, 2 * feat_loc), engine_cfg.kv_jax_dtype)
+                for _ in range(model_cfg.n_layers)
+            )
+            ring_scs = tuple(
+                jnp.zeros((B, 128), jnp.float32)
+                for _ in range(model_cfg.n_layers)
+            ) if engine_cfg.kv_quantized else ()
+            # slots live at burst start: first new position = length - 1,
+            # first ring column = 0; admissions overwrite their entries
+            ring_ctx = (rings, ring_scs,
+                        jnp.maximum(st.lengths - 1, 0),
+                        jnp.zeros(B, jnp.int32))
+        for k in range(n_sub):
+            st, status, ring_ctx = _sub_burst(
+                model_cfg, engine_cfg, attention_impl, max_new, sampling,
+                ablate, ctx, r_sub, k * r_sub, ring_ctx,
+                (not burst_ring) or (k == n_sub - 1),
+                params, st, prompts_all, plens_all, n_real,
+            )
+        return st, status
+
+    def skip_burst(st: AutoState):
+        return st, _status_of(st)
+
+    # ONE liveness/pending gate around the WHOLE burst (chunked dispatch
+    # overshoots past completion by up to chunk-1 bursts; those must cost
+    # ~nothing). The gate used to live inside each sub-burst around its
+    # decode scan, but threading the burst-wide rings through per-sub-burst
+    # cond boundaries broke XLA's in-place reuse of the ring buffers —
+    # measured +0.57 ms/round on the 12-layer model with a DRAINED queue
+    # (~8 ms/burst of ring copies, the r3 big-carry lesson in cond form).
+    # With the single outer gate the rings flow scan -> scan in straight
+    # line and update in place. An all-dead MIDDLE sub-burst (possible
+    # under extreme under-load, queue pending) now decodes dead rows
+    # instead of skipping — masked, correct, and not a steady-state case.
+    pending = st.queue_head < n_real
+    if engine_cfg.overcommit:
+        pending = pending | (st.retry_top > 0)
+    return jax.lax.cond(
+        jnp.any(st.lengths > 0) | pending, run_subbursts, skip_burst, st,
+    )
+
+
+def _status_of(st: AutoState):
+    """The 5-int status vector (live, queue head, free groups, retry
+    depth, finished count) computed from a state."""
+    return jnp.stack([
+        jnp.sum(st.lengths > 0).astype(jnp.int32),
+        st.queue_head,
+        st.free_top,
+        (jnp.zeros((), jnp.int32) if st.retry_top is None
+         else st.retry_top),
+        jnp.sum(st.final_lens > 0).astype(jnp.int32),
+    ])
 
 
 def _sub_burst(
@@ -400,6 +436,18 @@ def _sub_burst(
         req_ix = st.queue_head + jnp.arange(max_new, dtype=jnp.int32)
         req_ix_c = req_ix % R_total
         plens = jnp.where(admit_mask, plens_all[req_ix_c], 0)
+        if engine_cfg.sort_admits:
+            # permute the admitted wave by prompt length before slots and
+            # page groups are assigned: the admitted SET and the queue
+            # advance are unchanged (greedy determinism makes slot/group
+            # assignment output-invisible); co-blocked slots then share
+            # context width, which is what the dgrid kernel's per-block
+            # max-width gate needs (see config.sort_admits)
+            key = jnp.where(admit_mask, plens, jnp.int32(1 << 30))
+            order = jnp.argsort(key, stable=True)
+            req_ix = req_ix[order]
+            req_ix_c = req_ix_c[order]
+            plens = plens[order]
         prompts = prompts_all[req_ix_c]  # [max_new, S_pre]
         # j-th admitted pops stack[free_top - 1 - j]
         gids = page_stack[
@@ -606,13 +654,11 @@ def _sub_burst(
         return (kv, rings, ring_scs, lengths, last, key,
                 out_tokens, final_lens)
 
-    # chunked dispatch overshoots past completion by up to chunk-1 bursts;
-    # skip the whole decode scan when no slot is live so those cost ~nothing
+    # No liveness gate here: _autonomous_burst wraps the WHOLE burst in
+    # one lax.cond (see its comment — per-sub-burst conds forced ring
+    # copies that cost ~0.57 ms/round on 12-layer models)
     (kv, rings_f, ring_scs_f, lengths, last_tokens, rng_key, out_tokens,
-     final_lens) = jax.lax.cond(
-        jnp.any(lengths > 0),
-        run_rounds,
-        lambda c: c,
+     final_lens) = run_rounds(
         (kv, rings0, ring_scs0, lengths, last_tokens, st.rng_key,
          st.out_tokens, st.final_lens),
     )
@@ -626,17 +672,9 @@ def _sub_burst(
         queue_head, free_top, page_stack, out_tokens, final_lens, rng_key,
         **oc,
     )
-    status = jnp.stack([
-        jnp.sum(lengths > 0).astype(jnp.int32),
-        queue_head,
-        free_top,
-        (jnp.zeros((), jnp.int32) if oc["retry_top"] is None
-         else oc["retry_top"]),
-        # finished-request count: lets servers gate the (expensive,
-        # queue-serialized) poll fetch on actual completions
-        jnp.sum(final_lens > 0).astype(jnp.int32),
-    ])
-    return new_st, status, ring_ctx_out
+    # status: lets servers gate the (expensive, queue-serialized) poll
+    # fetch on actual completions
+    return new_st, _status_of(new_st), ring_ctx_out
 
 
 @functools.lru_cache(maxsize=None)

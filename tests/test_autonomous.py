@@ -223,6 +223,34 @@ def test_autonomous_burst_flush_dgrid_match(params, rng):
             stores[True].finished[i].tokens, i
 
 
+def test_autonomous_sort_admits_token_exact(params, rng):
+    """sort_admits permutes which slot/page-group an admitted request
+    lands in (length clustering for the dgrid block gate) — outputs must
+    be token-exact unsorted vs sorted, jnp oracle vs dgrid."""
+    n = 20
+    base = make_store(rng, n, MODEL.eof_token_id)
+    stores = {}
+    for sort, dgrid in ((False, False), (True, False), (True, True)):
+        cfg = EngineConfig(
+            n_slots=8, page_size=16, n_pages=8 * 4, n_forward_rounds=4,
+            subbursts=2, kv_dtype="int8", sort_admits=sort,
+            attn_dgrid=dgrid,
+        )
+        s = ItemStorage()
+        for i in range(n):
+            s.add_new_item(Request(i, list(base._new[i].tokens)))
+        get_global_throughput_counter().reset()
+        impl = "grouped" if dgrid else "jnp"
+        AutonomousEngine(params, MODEL, cfg, attention_impl=impl,
+                         max_new_per_burst=6).run(s)
+        stores[(sort, dgrid)] = s
+    ref = stores[(False, False)]
+    assert len(ref.finished) == n
+    for key, s in stores.items():
+        for i in range(n):
+            assert s.finished[i].tokens == ref.finished[i].tokens, (key, i)
+
+
 def test_autonomous_subbursts_overcommit_match(params, rng):
     """Sub-bursts compose with overcommit: growth lookahead shrinks to the
     sub-burst rounds and admission/preemption run per sub-burst."""

@@ -147,8 +147,8 @@ def main():
         return jax.tree_util.tree_map(jnp.array, template)
 
     def measure(ablate, repeats=3):
-        burst = make_autonomous_fn(model, cfg, args.attention, 256,
-                                   ablate=ablate)
+        burst = make_autonomous_fn(model, cfg, args.attention,
+                                   min(256, B), ablate=ablate)
 
         def run(n, st_l):
             t0 = time.perf_counter()
