@@ -97,7 +97,11 @@ def main():
     ap.add_argument("--page-size", type=int, default=32)
     ap.add_argument("--init-pages", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--kv-dtype", default="int8")
+    ap.add_argument("--kv-dtype", default=None,
+                    help="KV cache dtype (default: int4 for ref — the "
+                         "r5 same-session sweep winner at 505.1k vs int8's "
+                         "494.2k no-ring / 473.8k ring; int8 for gpt2s — "
+                         "dgrid rejects packed int4)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--attention", default="grouped",
                     choices=["jnp", "pallas", "grouped"])
@@ -113,10 +117,17 @@ def main():
     ap.add_argument("--model", default="ref", choices=["ref", "gpt2s"],
                     help="ref = reference-parity single attention block; "
                          "gpt2s = 12-layer GPT-2-small-class stack")
-    ap.add_argument("--bursts-per-chunk", type=int, default=24)
+    ap.add_argument("--bursts-per-chunk", type=int, default=None,
+                    help="bursts dispatched per status fetch (default 24 "
+                         "for ref, 6 for gpt2s — the long 12-layer bursts "
+                         "need finer chunks for the drain downshift to "
+                         "engage before the run ends)")
     ap.add_argument("--max-new-per-burst", type=int, default=512)
     ap.add_argument("--min-drain-slots", type=int, default=None,
-                    help="drain-downshift floor (default: n_slots = off)")
+                    help="drain-downshift floor (default: off for ref — "
+                         "executable switching measured -12% there — and "
+                         "512 for gpt2s: with chunk 6 + sort-admits it "
+                         "measured 86.7k vs 82.7k same-session)")
     ap.add_argument("--pages-per-dma", type=int, default=None,
                     help="contiguous-run DMA length in pages (grouped kernel)")
     ap.add_argument("--attn-group", type=int, default=None,
@@ -161,7 +172,16 @@ def main():
                          "measure the oversubscription trade)")
     ap.add_argument("--no-ring", action="store_true",
                     help="disable the per-burst decode ring (per-round "
-                         "fused page write-backs instead)")
+                         "fused page write-backs instead). Default: ring "
+                         "OFF for ref (r5 same-session A/B: no-ring won "
+                         "for BOTH kv dtypes at subbursts=2 — int8 494.2k "
+                         "vs 473.8k, int4 505.1k vs 313.9k; the int4 ring "
+                         "merge unpacks nibbles every round), ON for "
+                         "gpt2s (dgrid implements the ring partial "
+                         "contract)")
+    ap.add_argument("--ring", action="store_true",
+                    help="force the decode ring on (overrides the "
+                         "per-model default)")
     ap.add_argument("--profile", default=None, metavar="LOGDIR",
                     help="capture a jax.profiler (xprof) trace of ONE timed "
                          "run into LOGDIR (reference: NVTX + make profile)")
@@ -182,26 +202,39 @@ def main():
             n_vocab=args.vocab, emb_dim=args.emb, n_seq=args.seq,
             eof_token_id=args.vocab - 1, dtype=args.dtype,
         )
+    gpt2s = args.model == "gpt2s"
+    # per-model tuned defaults, every one a committed same-session A/B:
+    # ref  = int4 KV + no ring + subbursts 2        (INT4_r05.json)
+    # gpt2s = int8 KV + ring + dgrid + sort-admits,
+    #         chunk 6 + drain downshift to 512      (GPT2S_r05.json)
+    kv_dtype = args.kv_dtype or ("int8" if gpt2s else "int4")
+    if args.overcommit and kv_dtype == "int4" and args.kv_dtype is None:
+        kv_dtype = "int8"  # keep the overcommit A/B on its r4 footing
     engine_cfg = EngineConfig(
         n_slots=args.slots, n_pages=args.pages,
         n_forward_rounds=args.rounds,
         page_size=args.page_size, init_num_pages=args.init_pages,
-        kv_dtype=args.kv_dtype or args.dtype,
+        kv_dtype=kv_dtype,
         max_prefill_batch=args.max_prefill_batch,
         pages_per_dma=args.pages_per_dma,
         attn_group_size=args.attn_group,
-        decode_ring=not args.no_ring,
+        decode_ring=args.ring or (gpt2s and not args.no_ring),
         attn_dense=args.attn_dense,
         attn_dgrid=(args.attn_dgrid or
-                    (args.model == "gpt2s" and not args.no_attn_dgrid
+                    (gpt2s and not args.no_attn_dgrid
                      and not args.overcommit and not args.attn_dense)),
         dgrid_block=args.dgrid_block,
-        sort_admits=args.sort_admits and not args.no_sort_admits,
+        sort_admits=((args.sort_admits or gpt2s)
+                     and not args.no_sort_admits),
         subbursts=(args.subbursts if args.subbursts is not None
-                   else (1 if args.model == "gpt2s" else 2)),
+                   else (1 if gpt2s else 2)),
         burst_flush=not args.no_burst_flush,
         overcommit=args.overcommit,
     )
+    if args.bursts_per_chunk is None:
+        args.bursts_per_chunk = 6 if gpt2s else 24
+    if args.min_drain_slots is None and gpt2s:
+        args.min_drain_slots = 512
     rng = np.random.default_rng(0)
     if args.model == "gpt2s":
         import jax as _jax
@@ -272,10 +305,15 @@ def main():
         "config": {
             "slots": args.slots, "pages": args.pages, "seq": args.seq,
             "emb": args.emb, "vocab": args.vocab, "requests": args.requests,
-            "dtype": args.dtype, "kv_dtype": args.kv_dtype or args.dtype,
+            "dtype": args.dtype, "kv_dtype": engine_cfg.kv_dtype,
             "attention": args.attention, "rounds": args.rounds,
             "engine": args.engine, "model": args.model,
             "subbursts": engine_cfg.subbursts,
+            "decode_ring": engine_cfg.decode_ring,
+            "sort_admits": engine_cfg.sort_admits,
+            "page_size": args.page_size,
+            "bursts_per_chunk": args.bursts_per_chunk,
+            "min_drain_slots": args.min_drain_slots,
             "overcommit": args.overcommit,
             "attn_variant": ("dgrid" if engine_cfg.attn_dgrid else
                              "dense" if engine_cfg.attn_dense else

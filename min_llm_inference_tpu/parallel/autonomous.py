@@ -327,13 +327,27 @@ class ShardedStreamingSession:
             d["fin_lens"] = fin_lens
         return d
 
-    def step(self, n_bursts: int | None = None) -> dict:
+    def step(self, n_bursts: int | None = None,
+             observe: bool = False) -> dict:
+        """observe=True fuses the final_lens snapshot into the status
+        RPC (one d2h fetch for both), mirroring
+        StreamingSession.step(observe=True) — poll() consumes the
+        returned fin_lens/n_submitted_at directly."""
         eng = self.engine
         for _ in range(n_bursts or eng.chunk):
             self.st, status = eng._burst(
                 eng.params, self.st, self.prompts_dev, self.plens_dev,
                 self._n_real(),
             )
+        if observe:
+            snap = np.asarray(jnp.concatenate(
+                [status.astype(jnp.int32).reshape(-1),
+                 self.st.final_lens]))
+            ns = int(np.prod(status.shape))
+            d = self._status_dict(
+                snap[:ns].reshape(status.shape), snap[ns:])
+            d["n_submitted_at"] = self.n_submitted
+            return d
         return self._status_dict(np.asarray(status))
 
     def dispatch(self) -> None:

@@ -1005,23 +1005,43 @@ class StreamingSession:
         self._requests.extend(requests)
         self._plens.extend(int(x) for x in lens)
 
-    def step(self, n_bursts: int | None = None) -> dict:
+    def step(self, n_bursts: int | None = None,
+             observe: bool = False) -> dict:
         """Dispatch one chunk of bursts (default: the engine's
         bursts_per_chunk; pass 1 for the finest completion-observation
         granularity at the cost of one status fetch per burst); returns
-        {live, queued, free}."""
+        {live, queued, free}.
+
+        observe=True fuses the final_lens snapshot into the SAME
+        device->host RPC as the status (adds ``fin_lens`` +
+        ``n_submitted_at`` to the dict, both directly consumable by
+        poll()). Every separate fetch serializes behind the whole device
+        queue on this transport, so a server that polls most chunks —
+        open-loop arrivals finish requests continuously — halves its
+        per-chunk RPCs this way (measured: the unfused open-loop bench
+        idled the device ~60%% and delivered 39.8k tok/s at a 143k
+        offered load)."""
         eng = self.engine
         for _ in range(n_bursts or eng.chunk):
             self.st, status = eng._burst(
                 eng.params, self.st, self.prompts_dev, self.plens_dev,
                 jnp.asarray(self.n_submitted, jnp.int32),
             )
-        live, head, free, retry, fin = (
-            int(x) for x in np.asarray(status))
-        return {"live": live,
-                "queued": self.n_submitted - head + retry,
-                "free_groups": free,
-                "finished_total": fin}
+        if observe:
+            snap = np.asarray(jnp.concatenate(
+                [status.astype(jnp.int32), self.st.final_lens]))
+            status_h, fin_lens = snap[:5], snap[5:]
+        else:
+            status_h, fin_lens = np.asarray(status), None
+        live, head, free, retry, fin = (int(x) for x in status_h)
+        out = {"live": live,
+               "queued": self.n_submitted - head + retry,
+               "free_groups": free,
+               "finished_total": fin}
+        if observe:
+            out["fin_lens"] = fin_lens
+            out["n_submitted_at"] = self.n_submitted
+        return out
 
     def dispatch(self) -> None:
         """Pipelined serving: dispatch ONE burst and start the status +

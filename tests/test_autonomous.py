@@ -481,6 +481,48 @@ def test_streaming_pipelined_observe_matches_oneshot(params, rng):
         assert finished[i].tokens == oneshot.finished[i].tokens, i
 
 
+def test_streaming_fused_step_observe_matches_oneshot(params, rng):
+    """step(observe=True) fuses the final_lens snapshot into the status
+    RPC; polling from that snapshot must collect every request exactly
+    once, token-identical to the one-shot engine — including row
+    recycling (capacity < n)."""
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    n = 20
+    cfg = EngineConfig(n_slots=8, page_size=16, n_pages=8 * 4,
+                       n_forward_rounds=2)
+    base = make_store(rng, n, MODEL.eof_token_id)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+
+    oneshot = ItemStorage()
+    for i, p in enumerate(prompts):
+        oneshot.add_new_item(Request(i, list(p)))
+    AutonomousEngine(params, MODEL, cfg, attention_impl="grouped").run(oneshot)
+
+    eng = AutonomousEngine(params, MODEL, cfg, attention_impl="grouped",
+                           max_new_per_burst=4, bursts_per_chunk=2)
+    sess = StreamingSession(eng, capacity=9, max_prompt_len=32)
+    finished = {}
+    submitted = 0
+    for _ in range(400):
+        take = min(3, n - submitted, sess.free_capacity)
+        if take:
+            sess.submit([Request(i, list(prompts[i]))
+                         for i in range(submitted, submitted + take)])
+            submitted += take
+        s = sess.step(observe=True)
+        if s["finished_total"]:
+            for r in sess.poll(s["fin_lens"], s["n_submitted_at"]):
+                finished[r.id] = r
+        if submitted == n and len(finished) == n:
+            break
+    for r in sess.close():
+        finished[r.id] = r
+    assert len(finished) == n
+    for i in range(n):
+        assert finished[i].tokens == oneshot.finished[i].tokens, i
+
+
 def test_streaming_session_int8_matches_oneshot(params, rng):
     """Streaming parity holds under quantized KV too: the per-page scale
     rule is position-based (row-0 absmax, no host coordination), so slot

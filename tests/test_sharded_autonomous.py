@@ -221,3 +221,51 @@ def test_sharded_autonomous_rejects_bad_shapes(params):
     cfg = EngineConfig(n_slots=6, page_size=8, n_pages=24)
     with pytest.raises(AssertionError):
         ShardedAutonomousEngine(params, MODEL, cfg, n_devices=4, tp=1)
+
+
+def test_sharded_fused_step_observe_matches_oneshot(params, rng):
+    """ShardedStreamingSession.step(observe=True): the fused
+    status+final_lens snapshot drives poll() exactly once per
+    completion, token-exact vs the single-chip one-shot run."""
+    from min_llm_inference_tpu.parallel.autonomous import (
+        ShardedStreamingSession,
+    )
+
+    n_devices, tp = 4, 1
+    dp = n_devices // tp
+    n = 18
+    cfg = EngineConfig(
+        n_slots=2 * dp, page_size=8, n_pages=2 * dp * 4,
+        n_forward_rounds=2, max_prefill_batch=8,
+    )
+    base = make_store(rng, n)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+    oracle = ItemStorage()
+    for i, p in enumerate(prompts):
+        oracle.add_new_item(Request(i, list(p)))
+    run_single(params, cfg, oracle, "jnp")
+
+    eng = ShardedAutonomousEngine(
+        params, MODEL, cfg, n_devices=n_devices, tp=tp,
+        attention_impl="jnp", max_new_per_burst=2, bursts_per_chunk=2,
+    )
+    sess = ShardedStreamingSession(eng, capacity=16, max_prompt_len=16)
+    finished = {}
+    submitted = 0
+    for _ in range(600):
+        take = min(4, n - submitted, sess.free_capacity)
+        if take:
+            sess.submit([Request(i, list(prompts[i]))
+                         for i in range(submitted, submitted + take)])
+            submitted += take
+        s = sess.step(observe=True)
+        if s["finished_total"]:
+            for r in sess.poll(s["fin_lens"], s["n_submitted_at"]):
+                finished[r.id] = r
+        if submitted == n and len(finished) == n:
+            break
+    for r in sess.close():
+        finished[r.id] = r
+    assert len(finished) == n
+    for i in range(n):
+        assert finished[i].tokens == oracle.finished[i].tokens, i
