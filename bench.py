@@ -220,8 +220,13 @@ def main():
         attn_group_size=args.attn_group,
         decode_ring=args.ring or (gpt2s and not args.no_ring),
         attn_dense=args.attn_dense,
+        # the dgrid default drops out whenever its preconditions do:
+        # it implements the ring-partial contract (--no-ring on gpt2s
+        # falls back to the grouped fused-write path) and rejects packed
+        # int4 (per-head nibble planes defeat the whole-block selector)
         attn_dgrid=(args.attn_dgrid or
                     (gpt2s and not args.no_attn_dgrid
+                     and not args.no_ring and kv_dtype != "int4"
                      and not args.overcommit and not args.attn_dense)),
         dgrid_block=args.dgrid_block,
         sort_admits=((args.sort_admits or gpt2s)

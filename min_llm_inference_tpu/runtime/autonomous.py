@@ -355,11 +355,24 @@ def _autonomous_burst(
 
 def _status_of(st: AutoState):
     """The 5-int status vector (live, queue head, free groups, retry
-    depth, finished count) computed from a state."""
+    depth, finished count) computed from a state.
+
+    free groups counts the stack PLUS dead-but-allocated slots' units:
+    pages are physically freed at the next burst's admission step, so
+    without the freeable term the column under-reports by one burst of
+    deaths — and never converges while the engine idles, since the
+    whole-burst liveness gate skips the admission step entirely then.
+    Status consumers pace/shed on this column; the next real burst can
+    always admit against it."""
+    dead_alloc = (st.lengths == 0) & st.allocated
+    units = dead_alloc.astype(jnp.int32)
+    if st.grown is not None:
+        # overcommit: a grown dead slot returns two half-group units
+        units = units + (dead_alloc & st.grown).astype(jnp.int32)
     return jnp.stack([
         jnp.sum(st.lengths > 0).astype(jnp.int32),
         st.queue_head,
-        st.free_top,
+        st.free_top + jnp.sum(units),
         (jnp.zeros((), jnp.int32) if st.retry_top is None
          else st.retry_top),
         jnp.sum(st.final_lens > 0).astype(jnp.int32),

@@ -212,21 +212,15 @@ def main():
             # fin-gated separate fetch polls rarely and measured better
             # at saturation (227.1k vs 192.0k fused, same afternoon),
             # so it stays the closed-loop path.
-            if args.arrival_rate:
-                s = sess.step(observe=True)
-                if s["finished_total"] > len(done_t):
-                    now = time.perf_counter()
-                    for r in sess.poll(s["fin_lens"],
-                                       s["n_submitted_at"]):
-                        done_t[r.id] = now
-                        n_gen += len(r.tokens) - r.prompt_len
-            else:
-                s = sess.step()
-                if s["finished_total"] > len(done_t):
-                    now = time.perf_counter()
-                    for r in sess.poll():
-                        done_t[r.id] = now
-                        n_gen += len(r.tokens) - r.prompt_len
+            s = sess.step(observe=bool(args.arrival_rate))
+            if s["finished_total"] > len(done_t):
+                now = time.perf_counter()
+                # fused path hands poll the snapshot; unfused (fin_lens
+                # None) lets poll fetch the latest final_lens itself
+                for r in sess.poll(s.get("fin_lens"),
+                                   s.get("n_submitted_at")):
+                    done_t[r.id] = now
+                    n_gen += len(r.tokens) - r.prompt_len
             if args.trace:
                 print(f"it wall={time.perf_counter()-t0:.3f} made={made} "
                       f"fin={s['finished_total']} coll={len(done_t)} "
