@@ -614,9 +614,11 @@ def make_ring_round_callbacks(
                 ).astype(jnp.int8)
 
             qk, qv = quant(k, sk), quant(v, sv)
-            if engine_cfg.kv_packed:
-                qk = pack_int4_rows(qk, heads)
-                qv = pack_int4_rows(qv, heads)
+            # int4 pools: the ring stores UNPACKED nibble values (one int8
+            # per feature). Packing here forced merge_ring_partial to
+            # unpack the whole ring every round — measured as the int4
+            # ring path collapsing to 311k vs 485k tok/s no-ring
+            # (INT4_r05.json). The flush packs ONCE per burst instead.
             # "ringdus" knockout: STATIC-index updates (column 0) instead
             # of the scan-counter index — isolates whether dynamic-start
             # update-slices defeat XLA's in-place donation on the carried
@@ -705,11 +707,27 @@ def make_ring_round_callbacks(
         return merge_ring_partial(
             o_p, m_p, l_p, q, rings[li],
             ring_scs[li] if quantized else None,
-            ring_start, lens, heads, engine_cfg.kv_packed,
+            # packed=False even for int4 pools: the ring rides unpacked
+            # (see write_kv) so the merge reads it like an int8 ring
+            ring_start, lens, heads, False,
             ring_r0=ring_r0,
         ).astype(q.dtype)
 
     return write_kv, attend
+
+
+def pack_ring_for_flush(ring, n_heads: int):
+    """[B, R, 2*D] unpacked int4-value ring -> [B, R, D] packed (two
+    nibbles per byte, per-head halves) for the page flush. Runs ONCE per
+    burst; keeping the per-round ring unpacked is what removed the int4
+    ring merge cliff (INT4_r05.json)."""
+    B, R, two_d = ring.shape
+    D = two_d // 2
+    qk = pack_int4_rows(ring[:, :, :D].reshape(B * R, D), n_heads)
+    qv = pack_int4_rows(ring[:, :, D:].reshape(B * R, D), n_heads)
+    return jnp.concatenate(
+        [qk.reshape(B, R, D // 2), qv.reshape(B, R, D // 2)], axis=-1
+    )
 
 
 def merge_ring_partial(o_p, m_p, l_p, q, ring, ring_sc, ring_start, lens,

@@ -308,6 +308,10 @@ def _autonomous_burst(
         if burst_ring:
             B = engine_cfg.n_slots
             feat_loc = st.kv.kv_pages[0].shape[-1]
+            # int4 pools (feat_loc = D/2 packed): the ring rides UNPACKED
+            # (one int8 per feature); the flush packs once per burst
+            if engine_cfg.kv_packed:
+                feat_loc *= 2
             R_pad = ring_pad_rows(engine_cfg.n_forward_rounds)
             rings = tuple(
                 jnp.zeros((B, R_pad, 2 * feat_loc), engine_cfg.kv_jax_dtype)
@@ -544,6 +548,8 @@ def _sub_burst(
         ring_start = jnp.maximum(lengths - 1, 0)
         ring_r0 = None
         feat_loc = kv.kv_pages[0].shape[-1]   # local width under tp
+        if engine_cfg.kv_packed:
+            feat_loc *= 2   # int4 ring rides unpacked; flush packs
         R_pad = ring_pad_rows(R)
         rings0 = tuple(
             jnp.zeros((B, R_pad, 2 * feat_loc), engine_cfg.kv_jax_dtype)
@@ -644,13 +650,23 @@ def _sub_burst(
             if "flush" in ablate:   # profiling knockout only
                 kvp = pools_const
             else:
+                if engine_cfg.kv_packed:
+                    from ..models.paged import pack_ring_for_flush
+
+                    rings_fl = tuple(
+                        pack_ring_for_flush(
+                            rg, ctx.local_heads(model_cfg))
+                        for rg in rings
+                    )
+                else:
+                    rings_fl = rings
                 kvp = tuple(
                     ring_flush(
                         pool, rg, ring_start, lengths, page_table,
                         n_rounds=flush_rounds, ring_r0=ring_r0,
                         interpret=interp,
                     )
-                    for pool, rg in zip(pools_const, rings)
+                    for pool, rg in zip(pools_const, rings_fl)
                 )
             kv = PagedKVState(kvp, kv.k_scales, kv.v_scales)
         elif use_ring:
