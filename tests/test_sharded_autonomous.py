@@ -269,3 +269,33 @@ def test_sharded_fused_step_observe_matches_oneshot(params, rng):
     assert len(finished) == n
     for i in range(n):
         assert finished[i].tokens == oracle.finished[i].tokens, i
+
+
+def test_sharded_sort_admits_subbursts_burst_flush(params, rng):
+    """The r5 engine knobs compose on the mesh: sorted admission waves +
+    sub-burst admission with the burst-wide ring (single flush, per-slot
+    ring_r0) under dp x tp sharding, token-exact vs the single-chip jnp
+    oracle. int8 exercises the quantized ring + scale columns."""
+    n_devices, tp = 4, 2
+    dp = n_devices // tp
+    n = 20
+    cfg = EngineConfig(
+        n_slots=2 * dp, page_size=8, n_pages=2 * dp * 4,
+        n_forward_rounds=4, max_prefill_batch=8, kv_dtype="int8",
+        subbursts=2, sort_admits=True,
+    )
+    base = make_store(rng, n)
+    prompts = [list(base._new[i].tokens) for i in range(n)]
+    oracle = ItemStorage()
+    for i, p in enumerate(prompts):
+        oracle.add_new_item(Request(i, list(p)))
+    run_single(params, cfg, oracle, "jnp")
+
+    store = ItemStorage()
+    for i, p in enumerate(prompts):
+        store.add_new_item(Request(i, list(p)))
+    run_sharded(params, cfg, store, "grouped", n_devices, tp,
+                max_new_per_burst=2, bursts_per_chunk=2)
+    assert len(store.finished) == n
+    for i in range(n):
+        assert store.finished[i].tokens == oracle.finished[i].tokens, i
