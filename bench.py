@@ -208,8 +208,10 @@ def main():
     # gpt2s = int8 KV + ring + dgrid + sort-admits,
     #         chunk 6 + drain downshift to 512      (GPT2S_r05.json)
     kv_dtype = args.kv_dtype or ("int8" if gpt2s else "int4")
-    if args.overcommit and kv_dtype == "int4" and args.kv_dtype is None:
-        kv_dtype = "int8"  # keep the overcommit A/B on its r4 footing
+    if kv_dtype == "int4" and args.kv_dtype is None and (
+            args.overcommit          # keep the overcommit A/B on r4 footing
+            or args.attention == "pallas"):  # one-slot kernel is int8-only
+        kv_dtype = "int8"
     engine_cfg = EngineConfig(
         n_slots=args.slots, n_pages=args.pages,
         n_forward_rounds=args.rounds,

@@ -641,6 +641,27 @@ def test_streaming_session_capacity_recycling(params, rng):
         assert done[i] == store.finished[i].tokens, f"request {i} diverged"
 
 
+def test_streaming_session_stall_detection_raises(params):
+    """The two-consecutive-no-progress stall detector must fire (not spin
+    forever) when the page pool can never admit pending work. Legal
+    configs cannot reach this state (validate() sizes the pool for at
+    least one grant), so the test corrupts the device state directly:
+    free list emptied, every slot dead and unallocated, queue pending."""
+    import jax.numpy as jnp
+
+    from min_llm_inference_tpu.runtime.autonomous import StreamingSession
+
+    cfg = EngineConfig(n_slots=4, page_size=16, n_pages=16,
+                       n_forward_rounds=2, max_prefill_batch=4)
+    eng = AutonomousEngine(params, MODEL, cfg)
+    sess = StreamingSession(eng, capacity=4, max_prompt_len=16)
+    sess.submit([Request(0, [1, 2, 3])])
+    # simulate a wedged pool: nothing free, nothing freeable
+    sess.st = sess.st._replace(free_top=jnp.zeros((), jnp.int32))
+    with pytest.raises(RuntimeError, match="stalled"):
+        sess.close()
+
+
 def test_streaming_session_backpressure_raises(params):
     from min_llm_inference_tpu.runtime.autonomous import StreamingSession
 
